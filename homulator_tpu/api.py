@@ -1,0 +1,217 @@
+"""Public operation API: hmult / hadd / hrotate / pmult / padd (+ keyswitch,
+rescale, ntt) — the same operation surface the reference exposes through its
+Operation layer (include/Operation.h:178-321), as jitted JAX graphs.
+
+Where the reference builds per-op instruction DAGs and dispatches them to a
+simulated machine (InsGen/Driver), here each operation is ONE traced XLA
+program: the instruction stream dissolves into the jit graph, hazard logic
+into SSA dataflow, and the Driver's cluster scheduling into XLA/sharding
+(SURVEY.md §2 "Driver ... the scheduler layer becomes XLA").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
+from .ops.automorph import automorph_eval
+from .ops.keyswitch import keyswitch
+from .ops.modmath import modadd, modsub, mont_mul, to_mont
+from .ops.ntt import intt, ntt
+from .ops.rescale import rescale_poly
+from .params import CkksParams
+from .refimpl import RefCkks, RefPlaintext
+
+
+# --------------------------------------------------------------------------
+# jitted op graphs (module level so the jit cache is shared across engines)
+# --------------------------------------------------------------------------
+@jax.jit
+def _hadd_graph(a, b, q):
+    return modadd(a, b, q[None, :, None])
+
+
+@jax.jit
+def _hsub_graph(a, b, q):
+    return modsub(a, b, q[None, :, None])
+
+
+@jax.jit
+def _padd_graph(a, pt, q):
+    c0 = modadd(a[0], pt, q[:, None])
+    return jnp.stack([c0, a[1]])
+
+
+@jax.jit
+def _pmult_graph(a, pt, q, qinv, r2):
+    q2, qi2, r22 = q[:, None], qinv[:, None], r2[:, None]
+    ptm = to_mont(pt, r22, q2, qi2)
+    return jnp.stack([mont_mul(a[0], ptm, q2, qi2), mont_mul(a[1], ptm, q2, qi2)])
+
+
+@jax.jit
+def _hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
+    """TensorCompute -> KeySwitch(d2) -> relinearize add -> 2x Rescale
+    (mirrors HMULT's program, src/Operation.cpp:913-1112)."""
+    main = kt.main_nt
+    q, qi, r2 = main.q[:, None], main.qinv[:, None], main.r2[:, None]
+    a0m = to_mont(a[0], r2, q, qi)
+    a1m = to_mont(a[1], r2, q, qi)
+    d0 = mont_mul(b[0], a0m, q, qi)
+    d1 = modadd(mont_mul(b[1], a0m, q, qi), mont_mul(b[0], a1m, q, qi), q)
+    d2 = mont_mul(b[1], a1m, q, qi)
+    e0, e1 = keyswitch(d2, evk_mont, kt)
+    c0 = modadd(d0, e0, q)
+    c1 = modadd(d1, e1, q)
+    r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
+    r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
+    return jnp.stack([r0, r1])
+
+
+@jax.jit
+def _hrotate_graph(a, perm, rotk_mont, kt):
+    """AUTO(c0), AUTO(c1) -> KeySwitch(sigma(c1)) -> add
+    (mirrors HROTATE, src/Operation.cpp:1271-1451)."""
+    main = kt.main_nt
+    q = main.q[:, None]
+    r0 = automorph_eval(a[0], perm)
+    r1 = automorph_eval(a[1], perm)
+    e0, e1 = keyswitch(r1, rotk_mont, kt)
+    return jnp.stack([modadd(r0, e0, q), e1])
+
+
+@jax.jit
+def _keyswitch_graph(d, evk_mont, kt):
+    e0, e1 = keyswitch(d, evk_mont, kt)
+    return jnp.stack([e0, e1])
+
+
+@jax.jit
+def _rescale_graph(a, last_nt, out_nt, rs_qinv_mont):
+    r0 = rescale_poly(a[0], last_nt, out_nt, rs_qinv_mont)
+    r1 = rescale_poly(a[1], last_nt, out_nt, rs_qinv_mont)
+    return jnp.stack([r0, r1])
+
+
+@jax.jit
+def _ntt_graph(x, nb):
+    return ntt(x, nb)
+
+
+@jax.jit
+def _intt_graph(x, nb):
+    return intt(x, nb)
+
+
+# --------------------------------------------------------------------------
+# engine
+# --------------------------------------------------------------------------
+class CkksEngine:
+    """One CKKS context on the current JAX backend.
+
+    Key generation / encryption / encoding run host-side through the exact
+    reference engine (refimpl.RefCkks) and keys are uploaded in Montgomery
+    form; all homomorphic operations run on device.
+    """
+
+    def __init__(self, params: CkksParams, seed: int = 0):
+        self.params = params
+        self.dc = DeviceContext(params)
+        self.ref = RefCkks(params, seed)
+        self.relin_key: Optional[jnp.ndarray] = None
+        self.rot_keys: Dict[int, jnp.ndarray] = {}
+
+    # ---- keys ------------------------------------------------------------
+    def keygen(self) -> None:
+        self.ref.keygen()
+        self.relin_key = self.dc.upload_kskey_mont(self.ref.relin_key.digits)
+
+    def gen_rotation_key(self, step: int) -> None:
+        key = self.ref.gen_rotation_key(step)
+        self.rot_keys[step] = self.dc.upload_kskey_mont(key.digits)
+
+    # ---- io --------------------------------------------------------------
+    def encrypt_ints(self, coeffs: np.ndarray, level: int, scale: float) -> Ciphertext:
+        pt = self.ref.encode_ints(coeffs, level, scale)
+        ct = self.ref.encrypt(pt)
+        return self.dc.upload_ct(ct.data, level, scale)
+
+    def plaintext_ints(self, coeffs: np.ndarray, level: int, scale: float) -> Plaintext:
+        pt = self.ref.encode_ints(coeffs, level, scale)
+        return self.dc.upload_pt(pt.data, level, scale)
+
+    def decrypt_bigint(self, ct: Ciphertext):
+        from .refimpl import RefCiphertext
+
+        data = self.dc.download(ct.data)
+        return self.ref.decrypt_to_bigint(
+            RefCiphertext(data, ct.level, ct.scale, ct.domain)
+        )
+
+    # ---- ops -------------------------------------------------------------
+    def hadd(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level and a.domain == b.domain == EVAL
+        q = self.dc.q[: a.level]
+        return Ciphertext(_hadd_graph(a.data, b.data, q), a.level, a.scale)
+
+    def hsub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level
+        q = self.dc.q[: a.level]
+        return Ciphertext(_hsub_graph(a.data, b.data, q), a.level, a.scale)
+
+    def padd(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        assert a.level == pt.level
+        q = self.dc.q[: a.level]
+        return Ciphertext(_padd_graph(a.data, pt.data, q), a.level, a.scale)
+
+    def pmult(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        assert a.level == pt.level
+        l = a.level
+        out = _pmult_graph(
+            a.data, pt.data, self.dc.q[:l], self.dc.qinv[:l], self.dc.r2[:l]
+        )
+        return Ciphertext(out, l, a.scale * pt.scale)
+
+    def hmult(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert self.relin_key is not None, "call keygen() first"
+        assert a.level == b.level and a.level >= 2
+        l = a.level
+        kt = self.dc.keyswitch_tables(l)
+        last_nt = self.dc.ntt_basis((l - 1,))
+        out_nt = self.dc.ntt_basis(self.dc.main_rows(l - 1))
+        out = _hmult_graph(
+            a.data, b.data, self.relin_key, kt, last_nt, out_nt,
+            self.dc.rescale_qinv_mont(l),
+        )
+        return Ciphertext(out, l - 1, a.scale * b.scale / self.params.qs[l - 1])
+
+    def hrotate(self, a: Ciphertext, step: int) -> Ciphertext:
+        if step not in self.rot_keys:
+            self.gen_rotation_key(step)
+        g = self.params.galois_elt(step)
+        perm = self.dc.automorph_perm(g)
+        kt = self.dc.keyswitch_tables(a.level)
+        out = _hrotate_graph(a.data, perm, self.rot_keys[step], kt)
+        return Ciphertext(out, a.level, a.scale)
+
+    def keyswitch_poly(self, d: jnp.ndarray, key: jnp.ndarray, level: int):
+        kt = self.dc.keyswitch_tables(level)
+        return _keyswitch_graph(d, key, kt)
+
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        l = a.level
+        last_nt = self.dc.ntt_basis((l - 1,))
+        out_nt = self.dc.ntt_basis(self.dc.main_rows(l - 1))
+        out = _rescale_graph(a.data, last_nt, out_nt, self.dc.rescale_qinv_mont(l))
+        return Ciphertext(out, l - 1, a.scale / self.params.qs[l - 1])
+
+    def ntt(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        return _ntt_graph(x, self.dc.ntt_basis(self.dc.main_rows(level)))
+
+    def intt(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
+        return _intt_graph(x, self.dc.ntt_basis(self.dc.main_rows(level)))

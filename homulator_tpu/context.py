@@ -1,0 +1,269 @@
+"""Device-side context: uint32 table pytrees + ciphertext containers.
+
+Replaces the reference's address-space data model (include/Context.h:10-166
+`Polynominal`/`Ciphertext`/`Plaintext` address containers and Addr.h's named
+bump allocator): here a ciphertext is a real HBM-resident limb-major
+uint32[2, level, N] array plus (level, scale, domain) metadata, and XLA owns
+allocation (SURVEY.md §2 "AddrManage ... not needed as allocator").
+
+All multiplicative constants are stored in Montgomery form (see
+ops/modmath.py). Data arrays always hold standard-domain residues.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import CkksParams
+
+EVAL = "eval"
+COEFF = "coeff"
+
+
+def _to_mont_np(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(x << 32) % q in exact uint64 (x < 2**30)."""
+    return ((x.astype(np.uint64) << np.uint64(32)) % q.astype(np.uint64)).astype(
+        np.uint32
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["level", "scale", "domain"],
+)
+@dataclasses.dataclass
+class Ciphertext:
+    """data: uint32[2, level, N], eval domain, standard-domain residues."""
+
+    data: jnp.ndarray
+    level: int
+    scale: float
+    domain: str = EVAL
+
+    def __post_init__(self):
+        assert self.data.ndim == 3 and self.data.shape[0] == 2
+        assert self.data.shape[1] == self.level, (self.data.shape, self.level)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["level", "scale", "domain"],
+)
+@dataclasses.dataclass
+class Plaintext:
+    """data: uint32[level, N], eval domain, standard-domain residues."""
+
+    data: jnp.ndarray
+    level: int
+    scale: float
+    domain: str = EVAL
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "qinv", "r2", "stage1", "tw_mid", "stage2",
+                 "istage1", "tw_mid_inv", "istage2"],
+    meta_fields=["n1", "n2"],
+)
+@dataclasses.dataclass
+class NttBasis:
+    """Row-aligned NTT tables for one ordered prime basis (M rows).
+
+    stage*/istage*: tuples of uint32[M, 2**s] Montgomery-form twiddles.
+    tw_mid / tw_mid_inv: uint32[M, n1, n2] Montgomery-form mid twiddles.
+    """
+
+    q: jnp.ndarray
+    qinv: jnp.ndarray
+    r2: jnp.ndarray
+    stage1: Tuple[jnp.ndarray, ...]
+    tw_mid: jnp.ndarray
+    stage2: Tuple[jnp.ndarray, ...]
+    istage1: Tuple[jnp.ndarray, ...]
+    tw_mid_inv: jnp.ndarray
+    istage2: Tuple[jnp.ndarray, ...]
+    n1: int
+    n2: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["step1_mont", "mat_other_mont"],
+    meta_fields=["lo", "hi"],
+)
+@dataclasses.dataclass
+class ModUpDigitTables:
+    """Per-digit ModUp tables at a fixed level, rows aligned to ext basis.
+
+    step1_mont: uint32[nd] — [(Q_d/q_i)^{-1}]_{q_i} for i in the digit.
+    mat_other_mont: uint32[K_ext - nd, nd] — [Q_d/q_i]_{p_j} for every ext
+    basis row j *outside* the digit (own rows pass residues through
+    unscaled — the reference's Decomp routing, src/Operation.cpp:190-292).
+    lo/hi: digit's row span within the ext basis ordering.
+    """
+
+    step1_mont: jnp.ndarray
+    mat_other_mont: jnp.ndarray
+    lo: int
+    hi: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["digits", "main_nt", "ext_nt", "special_nt",
+                 "moddown_s1_mont", "moddown_s2_mont", "pinv_mont"],
+    meta_fields=["level"],
+)
+@dataclasses.dataclass
+class KeySwitchLevelTables:
+    digits: Tuple[ModUpDigitTables, ...]
+    main_nt: NttBasis
+    ext_nt: NttBasis
+    special_nt: NttBasis
+    moddown_s1_mont: jnp.ndarray  # [alpha]
+    moddown_s2_mont: jnp.ndarray  # [level, alpha]
+    pinv_mont: jnp.ndarray  # [level]
+    level: int
+
+
+class DeviceContext:
+    """Holds all device-resident tables for one CkksParams.
+
+    Not a pytree: jitted ops receive the small per-call table pytrees
+    (NttBasis / KeySwitchLevelTables) built and cached here.
+    """
+
+    def __init__(self, params: CkksParams):
+        self.params = params
+        p = params
+        K = p.num_primes
+        qn = p.q_arr
+        self.q = jnp.asarray(qn.astype(np.uint32))
+        self.qinv = jnp.asarray(p.qinv_neg.astype(np.uint32))
+        self.r2 = jnp.asarray(p.r2.astype(np.uint32))
+
+        t = p.ntt
+        self._stage1 = tuple(jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub1.stage_tw)
+        self._stage2 = tuple(jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub2.stage_tw)
+        self._istage1 = tuple(
+            jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub1.inv_stage_tw
+        )
+        self._istage2 = tuple(
+            jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub2.inv_stage_tw
+        )
+        self._tw_mid = jnp.asarray(_to_mont_np(t.tw_mid, qn[:, None, None]))
+        self._tw_mid_inv = jnp.asarray(_to_mont_np(t.tw_mid_inv, qn[:, None, None]))
+
+        sp_q = qn[p.max_level:]
+        self._moddown_s1 = jnp.asarray(_to_mont_np(p.ks.moddown_step1, sp_q))
+        self._moddown_s2 = jnp.asarray(
+            _to_mont_np(p.ks.moddown_step2, qn[: p.max_level, None])
+        )
+        self._pinv = jnp.asarray(_to_mont_np(p.ks.pinv_modq, qn[: p.max_level]))
+        self._rescale_qinv = jnp.asarray(
+            _to_mont_np(p.rescale_qinv, qn[None, : p.max_level])
+        )
+
+        self._nt_cache: Dict[Tuple[int, ...], NttBasis] = {}
+        self._ks_cache: Dict[int, KeySwitchLevelTables] = {}
+        self._perm_cache: Dict[int, jnp.ndarray] = {}
+
+    # ---- basis row index helpers ----------------------------------------
+    def main_rows(self, level: int) -> Tuple[int, ...]:
+        return tuple(range(level))
+
+    def special_rows(self) -> Tuple[int, ...]:
+        p = self.params
+        return tuple(range(p.max_level, p.num_primes))
+
+    def ext_rows(self, level: int) -> Tuple[int, ...]:
+        return self.main_rows(level) + self.special_rows()
+
+    # ---- table slicing ---------------------------------------------------
+    def ntt_basis(self, rows: Tuple[int, ...]) -> NttBasis:
+        if rows in self._nt_cache:
+            return self._nt_cache[rows]
+        r = jnp.asarray(np.array(rows, dtype=np.int32))
+        nb = NttBasis(
+            q=self.q[r], qinv=self.qinv[r], r2=self.r2[r],
+            stage1=tuple(s[r] for s in self._stage1),
+            tw_mid=self._tw_mid[r],
+            stage2=tuple(s[r] for s in self._stage2),
+            istage1=tuple(s[r] for s in self._istage1),
+            tw_mid_inv=self._tw_mid_inv[r],
+            istage2=tuple(s[r] for s in self._istage2),
+            n1=self.params.ntt.n1, n2=self.params.ntt.n2,
+        )
+        self._nt_cache[rows] = nb
+        return nb
+
+    def keyswitch_tables(self, level: int) -> KeySwitchLevelTables:
+        if level in self._ks_cache:
+            return self._ks_cache[level]
+        p = self.params
+        qn = p.q_arr
+        ext = self.ext_rows(level)
+        ext_np = np.array(ext)
+        digits = []
+        for d in range(p.beta(level)):
+            lo, hi = p.digit_range(level, d)
+            nd = hi - lo
+            s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
+            full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
+            other_rows = np.array([j for j in ext if not (lo <= j < hi)])
+            mat_other = _to_mont_np(full_mat[other_rows], qn[other_rows, None])
+            digits.append(
+                ModUpDigitTables(
+                    step1_mont=jnp.asarray(s1),
+                    mat_other_mont=jnp.asarray(mat_other),
+                    lo=lo, hi=hi,
+                )
+            )
+        kt = KeySwitchLevelTables(
+            digits=tuple(digits),
+            main_nt=self.ntt_basis(self.main_rows(level)),
+            ext_nt=self.ntt_basis(ext),
+            special_nt=self.ntt_basis(self.special_rows()),
+            moddown_s1_mont=self._moddown_s1,
+            moddown_s2_mont=self._moddown_s2[:level],
+            pinv_mont=self._pinv[:level],
+            level=level,
+        )
+        self._ks_cache[level] = kt
+        return kt
+
+    def rescale_qinv_mont(self, level: int) -> jnp.ndarray:
+        """[level-1] Montgomery [q_{level-1}^{-1}]_{q_i}."""
+        return self._rescale_qinv[level - 1, : level - 1]
+
+    def automorph_perm(self, g: int) -> jnp.ndarray:
+        if g not in self._perm_cache:
+            self._perm_cache[g] = jnp.asarray(self.params.automorph_eval_perm(g))
+        return self._perm_cache[g]
+
+    # ---- host <-> device conversion -------------------------------------
+    def upload_ct(self, data_u64: np.ndarray, level: int, scale: float) -> Ciphertext:
+        return Ciphertext(
+            jnp.asarray(data_u64.astype(np.uint32)), level, scale, EVAL
+        )
+
+    def upload_pt(self, data_u64: np.ndarray, level: int, scale: float) -> Plaintext:
+        return Plaintext(jnp.asarray(data_u64.astype(np.uint32)), level, scale, EVAL)
+
+    def upload_kskey_mont(self, digits: List[np.ndarray]) -> jnp.ndarray:
+        """Stack evk digits [dnum, 2, K, N] converted to Montgomery form."""
+        p = self.params
+        qn = p.q_arr[None, None, :, None]
+        stacked = np.stack(digits)  # [dnum, 2, K, N] uint64
+        return jnp.asarray(_to_mont_np(stacked, qn))
+
+    def download(self, x: jnp.ndarray) -> np.ndarray:
+        return np.asarray(jax.device_get(x)).astype(np.uint64)

@@ -1,0 +1,96 @@
+"""Hybrid key switching — the performance-critical path of hmult/hrotate.
+
+Real implementation of the reference's KeySwitch phase DAG
+(src/Operation.cpp:9-590), phase for phase:
+
+  ModUpINTT            -> intt of all `level` main limbs
+  Decomp + BConvStep1/2 -> per digit: plain-residue decomposition, scale by
+                           [(Q_d/q_i)^{-1}]_{q_i}, convert to all other ext
+                           basis primes; own rows pass through (the
+                           reference's "routed from Decomp" inputs,
+                           src/Operation.cpp:190-292)
+  ModUpNTT             -> ntt of the extended digit (level+alpha limbs)
+  InnerProduct         -> acc_k += ext_digit * evk[d][k]  (the dead HPIP
+                           unit's job, done for real; evk in Montgomery form)
+  ModDown{INTT,BConv,NTT,Sub} -> divide by P and return to the main basis
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..context import KeySwitchLevelTables
+from .bconv import bconv_step1, bconv_step2
+from .modmath import modadd, modsub, mont_mul
+from .ntt import intt, ntt
+
+
+def modup_digit(
+    c_coeff: jnp.ndarray, kt: KeySwitchLevelTables, d: int
+) -> jnp.ndarray:
+    """Lift digit d of c (coeff domain, [level, N]) to the ext basis
+    [level+alpha, N]."""
+    dt = kt.digits[d]
+    lo, hi = dt.lo, dt.hi
+    own = c_coeff[lo:hi]  # [nd, N] plain residues
+    in_q = kt.main_nt.q[lo:hi]
+    in_qinv = kt.main_nt.qinv[lo:hi]
+    xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
+    ext_q = kt.ext_nt.q
+    ext_qinv = kt.ext_nt.qinv
+    other_rows = jnp.concatenate(
+        [jnp.arange(0, lo), jnp.arange(hi, ext_q.shape[0])]
+    )
+    conv = bconv_step2(
+        xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
+    )
+    # Reassemble ext-basis rows: [0:lo) converted | [lo:hi) own | [hi:) converted.
+    return jnp.concatenate([conv[:lo], own, conv[lo:]], axis=0)
+
+
+def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
+    """[level+alpha, N] eval over ext basis -> [level, N] eval (divide by P)."""
+    level = kt.level
+    b = intt(c_ext[level:], kt.special_nt)  # special limbs to coeff
+    sp_q = kt.special_nt.q
+    sp_qinv = kt.special_nt.qinv
+    bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
+    conv = bconv_step2(
+        bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
+    )
+    conv_eval = ntt(conv, kt.main_nt)
+    mq = kt.main_nt.q[:, None]
+    mqi = kt.main_nt.qinv[:, None]
+    diff = modsub(c_ext[:level], conv_eval, mq)
+    return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
+
+
+def keyswitch(
+    d_eval: jnp.ndarray,  # [level, N] eval-domain poly to switch
+    evk_mont: jnp.ndarray,  # [dnum, 2, K, N] Montgomery-form key digits
+    kt: KeySwitchLevelTables,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (e0, e1), each [level, N] eval, to add to (c0, c1)."""
+    level = kt.level
+    alpha = kt.special_nt.q.shape[0]
+    max_level = evk_mont.shape[2] - alpha
+    c_coeff = intt(d_eval, kt.main_nt)
+    ext_q = kt.ext_nt.q[:, None]
+    ext_qinv = kt.ext_nt.qinv[:, None]
+    K_ext = ext_q.shape[0]
+    acc0 = None
+    acc1 = None
+    for d in range(len(kt.digits)):
+        ext = modup_digit(c_coeff, kt, d)
+        ext_eval = ntt(ext, kt.ext_nt)
+        # evk rows for the ext basis: mains [0:level] ++ specials [L:L+alpha].
+        evk_d = jnp.concatenate(
+            [evk_mont[d][:, :level], evk_mont[d][:, max_level:]], axis=1
+        )  # [2, K_ext, N]
+        t0 = mont_mul(ext_eval, evk_d[0], ext_q, ext_qinv)
+        t1 = mont_mul(ext_eval, evk_d[1], ext_q, ext_qinv)
+        acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
+        acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
+    return moddown(acc0, kt), moddown(acc1, kt)

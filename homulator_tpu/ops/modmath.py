@@ -1,0 +1,107 @@
+"""uint32 Montgomery modular arithmetic for TPU vector lanes (VPU).
+
+This is the real implementation of what the reference's EWE unit models
+(include/Components.h:155-193: `num_mul` multipliers + `num_add` adders
+computing `a*b + c*d mod q` lanes). TPUs have no 64-bit integer multiply,
+so a 32x32 -> 64 product is synthesized from four 16x16 partial products
+with explicit carry propagation, and reduction is Montgomery REDC at
+radix R = 2**32:
+
+    REDC(hi, lo) = (T + m*q) / R,   m = lo * (-q^{-1}) mod R
+
+With primes q < 2**30 and operands < 2**30 the REDC output is < 2**28 + q,
+so a single conditional subtract lands in [0, q).
+
+Convention used throughout the framework: *data arrays hold standard-domain
+residues*; every multiplicative constant (twiddles, base-conversion
+matrices, evaluation keys, plaintexts-for-multiply) is pre-scaled by R
+("Montgomery form"), so one `mont_mul(data, const_mont)` yields a
+standard-domain product. Data*data products (tensor step, if keys were not
+pre-scaled) first lift one operand via `to_mont`.
+
+All functions broadcast: q / qinv_neg are typically [L, 1] against data
+[L, N] (or scalars).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_U16 = jnp.uint32(0xFFFF)
+_SIXTEEN = jnp.uint32(16)
+
+
+def mul32(a: jnp.ndarray, b: jnp.ndarray):
+    """Full 32x32 -> 64-bit product as (hi, lo) uint32 pair."""
+    a0 = a & _U16
+    a1 = a >> _SIXTEEN
+    b0 = b & _U16
+    b1 = b >> _SIXTEEN
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + hl  # may wrap
+    carry_mid = (mid < lh).astype(jnp.uint32)
+    lo = ll + (mid << _SIXTEEN)
+    carry_lo = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> _SIXTEEN) + (carry_mid << _SIXTEEN) + carry_lo
+    return hi, lo
+
+
+def mullo32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Low 32 bits of a*b (3 multiplies)."""
+    a0 = a & _U16
+    a1 = a >> _SIXTEEN
+    b0 = b & _U16
+    b1 = b >> _SIXTEEN
+    return a0 * b0 + ((a0 * b1 + a1 * b0) << _SIXTEEN)
+
+
+def mont_redc(hi: jnp.ndarray, lo: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
+    """Montgomery reduction of (hi, lo) = T < 2**60 to T * R^{-1} mod q, in [0, q).
+
+    Low-half carry trick: lo + low32(m*q) ≡ 0 (mod 2**32) by construction,
+    so the carry into the high half is exactly (lo != 0).
+    """
+    m = mullo32(lo, qinv_neg)
+    mq_hi, _ = mul32(m, q)
+    t = hi + mq_hi + (lo != 0).astype(jnp.uint32)
+    return jnp.where(t >= q, t - q, t)
+
+
+def mont_mul(a: jnp.ndarray, b_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
+    """a * b mod q where b_mont = b * R mod q. Result standard domain, [0, q)."""
+    hi, lo = mul32(a, b_mont)
+    return mont_redc(hi, lo, q, qinv_neg)
+
+
+def to_mont(a: jnp.ndarray, r2, q, qinv_neg) -> jnp.ndarray:
+    """Lift standard-domain a to Montgomery form a*R mod q (r2 = R^2 mod q)."""
+    return mont_mul(a, r2, q, qinv_neg)
+
+
+def modadd(a: jnp.ndarray, b: jnp.ndarray, q) -> jnp.ndarray:
+    s = a + b  # both < 2**30: no wrap
+    return jnp.where(s >= q, s - q, s)
+
+
+def modsub(a: jnp.ndarray, b: jnp.ndarray, q) -> jnp.ndarray:
+    return jnp.where(a >= b, a - b, a + q - b)
+
+
+def modneg(a: jnp.ndarray, q) -> jnp.ndarray:
+    return jnp.where(a == 0, a, q - a)
+
+
+def cond_sub(a: jnp.ndarray, q) -> jnp.ndarray:
+    """Single conditional subtract: reduces values < 2q into [0, q)."""
+    return jnp.where(a >= q, a - q, a)
+
+
+def ewe_muladd(a, b_mont, c, d_mont, q, qinv_neg) -> jnp.ndarray:
+    """Fused a*b + c*d mod q — the reference EWE's adder-tree lane
+    (include/InsGen.cpp:90-95). b/d must be in Montgomery form."""
+    return modadd(
+        mont_mul(a, b_mont, q, qinv_neg), mont_mul(c, d_mont, q, qinv_neg), q
+    )

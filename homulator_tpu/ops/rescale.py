@@ -1,0 +1,39 @@
+"""CKKS rescale: exact RNS division by the dropped prime.
+
+Real implementation of the reference's Rescale pipeline
+(src/Operation.cpp:741-911): iNTT the last limb (NTTOps), re-NTT its
+coefficients into each remaining basis, subtract (SubOps), multiply by
+[q_last^{-1}]_{q_i} (MulOps). Drops one limb; caller decrements level and
+divides the scale by q_last.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..context import NttBasis
+from .modmath import modsub, mont_mul
+from .ntt import intt, ntt
+
+
+def _reduce_small(v: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Reduce v < 2**30 modulo q > 2**28 via at most 3 conditional subtracts."""
+    for _ in range(3):
+        v = jnp.where(v >= q, v - q, v)
+    return v
+
+
+def rescale_poly(
+    c: jnp.ndarray,  # [level, N] eval domain
+    last_nt: NttBasis,  # basis of the dropped limb only (1 row)
+    out_nt: NttBasis,  # remaining main basis (level-1 rows)
+    qinv_mont: jnp.ndarray,  # [level-1] Montgomery [q_last^{-1}]_{q_i}
+) -> jnp.ndarray:
+    level = c.shape[0]
+    last_coeff = intt(c[level - 1: level], last_nt)  # [1, N] in [0, q_last)
+    oq = out_nt.q[:, None]
+    oqi = out_nt.qinv[:, None]
+    red = _reduce_small(jnp.broadcast_to(last_coeff, (level - 1, c.shape[1])), oq)
+    red_eval = ntt(red, out_nt)
+    diff = modsub(c[: level - 1], red_eval, oq)
+    return mont_mul(diff, qinv_mont[:, None], oq, oqi)

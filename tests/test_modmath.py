@@ -1,0 +1,86 @@
+"""Device Montgomery arithmetic vs exact Python integers."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from homulator_tpu import numtheory as nt
+from homulator_tpu.ops import modmath as mm
+
+
+def _rand_pair(q, size, rng):
+    a = rng.integers(0, q, size=size, dtype=np.uint64)
+    b = rng.integers(0, q, size=size, dtype=np.uint64)
+    return a, b
+
+
+def test_mul32_full_product():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 32, size=1000, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=1000, dtype=np.uint64)
+    hi, lo = mm.mul32(jnp.asarray(a.astype(np.uint32)), jnp.asarray(b.astype(np.uint32)))
+    full = a * b  # exact in uint64? no — use python ints
+    for i in range(0, 1000, 37):
+        exact = int(a[i]) * int(b[i])
+        assert (int(np.asarray(hi)[i]) << 32) + int(np.asarray(lo)[i]) == exact
+
+
+def test_mont_mul_matches_exact():
+    rng = np.random.default_rng(1)
+    for q in nt.gen_ntt_primes(64, 3):
+        qinv_neg, r2, _ = nt.mont_constants(q)
+        a, b = _rand_pair(q, 4096, rng)
+        b_mont = (b.astype(object) * nt.R % q).astype(np.uint64)
+        out = mm.mont_mul(
+            jnp.asarray(a.astype(np.uint32)),
+            jnp.asarray(b_mont.astype(np.uint32)),
+            jnp.uint32(q),
+            jnp.uint32(qinv_neg),
+        )
+        expected = (a.astype(object) * b.astype(object) % q).astype(np.uint64)
+        assert np.array_equal(np.asarray(out).astype(np.uint64), expected)
+
+
+def test_to_mont_roundtrip():
+    rng = np.random.default_rng(2)
+    q = nt.gen_ntt_primes(64, 1)[0]
+    qinv_neg, r2, _ = nt.mont_constants(q)
+    a = rng.integers(0, q, size=512, dtype=np.uint64)
+    am = mm.to_mont(
+        jnp.asarray(a.astype(np.uint32)), jnp.uint32(r2), jnp.uint32(q), jnp.uint32(qinv_neg)
+    )
+    expected = (a.astype(object) * nt.R % q).astype(np.uint64)
+    assert np.array_equal(np.asarray(am).astype(np.uint64), expected)
+
+
+def test_modadd_modsub_modneg():
+    rng = np.random.default_rng(3)
+    q = nt.gen_ntt_primes(64, 1)[0]
+    a, b = _rand_pair(q, 2048, rng)
+    qj = jnp.uint32(q)
+    aj = jnp.asarray(a.astype(np.uint32))
+    bj = jnp.asarray(b.astype(np.uint32))
+    assert np.array_equal(np.asarray(mm.modadd(aj, bj, qj)).astype(np.uint64), (a + b) % q)
+    assert np.array_equal(
+        np.asarray(mm.modsub(aj, bj, qj)).astype(np.uint64), (a + q - b) % q
+    )
+    assert np.array_equal(np.asarray(mm.modneg(aj, qj)).astype(np.uint64), (q - a) % q)
+
+
+def test_ewe_muladd():
+    """The reference EWE's a*b + c*d mod q lane (InsGen.cpp:90-95)."""
+    rng = np.random.default_rng(4)
+    q = nt.gen_ntt_primes(64, 1)[0]
+    qinv_neg, r2, _ = nt.mont_constants(q)
+    a, b = _rand_pair(q, 1024, rng)
+    c, d = _rand_pair(q, 1024, rng)
+    bm = (b.astype(object) * nt.R % q).astype(np.uint64)
+    dm = (d.astype(object) * nt.R % q).astype(np.uint64)
+    out = mm.ewe_muladd(
+        jnp.asarray(a.astype(np.uint32)), jnp.asarray(bm.astype(np.uint32)),
+        jnp.asarray(c.astype(np.uint32)), jnp.asarray(dm.astype(np.uint32)),
+        jnp.uint32(q), jnp.uint32(qinv_neg),
+    )
+    expected = (
+        (a.astype(object) * b.astype(object) + c.astype(object) * d.astype(object)) % q
+    ).astype(np.uint64)
+    assert np.array_equal(np.asarray(out).astype(np.uint64), expected)

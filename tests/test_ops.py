@@ -1,0 +1,135 @@
+"""Operation-level tests: device bit-exact vs CPU reference + end-to-end
+homomorphic correctness through decrypt (the tests the reference never had,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from homulator_tpu.refimpl import RefCiphertext, RefPlaintext
+
+SCALE = 2.0**29
+
+
+def _enc_pair(eng, v1, v2, level):
+    n = eng.params.n
+    m1 = np.zeros(n, dtype=np.int64)
+    m2 = np.zeros(n, dtype=np.int64)
+    m1[0] = int(v1 * SCALE)
+    m2[0] = int(v2 * SCALE)
+    return eng.encrypt_ints(m1, level, SCALE), eng.encrypt_ints(m2, level, SCALE)
+
+
+def _mirror(ct):
+    return RefCiphertext(np.asarray(ct.data).astype(np.uint64), ct.level, ct.scale)
+
+
+@pytest.mark.parametrize("fixture", ["small_engine", "medium_engine"])
+class TestBitExact:
+    def test_hadd(self, fixture, request):
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level
+        ct1, ct2 = _enc_pair(eng, 3, 4, l)
+        out = eng.hadd(ct1, ct2)
+        ref_out = eng.ref.hadd(_mirror(ct1), _mirror(ct2))
+        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+
+    def test_pmult_padd(self, fixture, request):
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level
+        ct1, _ = _enc_pair(eng, 3, 4, l)
+        coeffs = np.zeros(eng.params.n, dtype=np.int64)
+        coeffs[:4] = [5, -1, 2, 7]
+        pt = eng.plaintext_ints(coeffs, l, 1.0)
+        rpt = RefPlaintext(np.asarray(pt.data).astype(np.uint64), l, 1.0)
+        assert np.array_equal(
+            np.asarray(eng.pmult(ct1, pt).data).astype(np.uint64),
+            eng.ref.pmult(_mirror(ct1), rpt).data,
+        )
+        assert np.array_equal(
+            np.asarray(eng.padd(ct1, pt).data).astype(np.uint64),
+            eng.ref.padd(_mirror(ct1), rpt).data,
+        )
+
+    def test_hmult(self, fixture, request):
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level
+        ct1, ct2 = _enc_pair(eng, 3, 4, l)
+        out = eng.hmult(ct1, ct2)
+        ref_out = eng.ref.hmult(_mirror(ct1), _mirror(ct2))
+        assert out.level == l - 1
+        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+
+    def test_hmult_lower_level(self, fixture, request):
+        """Exercises partial digits at a level not divisible by alpha."""
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level - 1
+        ct1, ct2 = _enc_pair(eng, 2, 5, l)
+        out = eng.hmult(ct1, ct2)
+        ref_out = eng.ref.hmult(_mirror(ct1), _mirror(ct2))
+        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+
+    def test_hrotate(self, fixture, request):
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level
+        ct1, _ = _enc_pair(eng, 3, 4, l)
+        out = eng.hrotate(ct1, 1)
+        ref_out = eng.ref.hrotate(_mirror(ct1), 1)
+        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+
+    def test_rescale(self, fixture, request):
+        eng = request.getfixturevalue(fixture)
+        l = eng.params.max_level
+        ct1, _ = _enc_pair(eng, 3, 4, l)
+        out = eng.rescale(ct1)
+        ref_out = eng.ref.rescale(_mirror(ct1))
+        assert out.level == l - 1
+        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+
+
+class TestHomomorphic:
+    """End-to-end: operations compute the right numbers after decryption."""
+
+    def test_hmult_product(self, small_engine):
+        eng = small_engine
+        l = eng.params.max_level
+        ct1, ct2 = _enc_pair(eng, 7, 11, l)
+        out = eng.hmult(ct1, ct2)
+        dec = eng.decrypt_bigint(out)
+        assert abs(dec[0] / out.scale - 77) < 0.01
+
+    def test_hmult_chain(self, small_engine):
+        """Multiply down several levels: ((2*3)*4) = 24."""
+        eng = small_engine
+        l = eng.params.max_level
+        ct1, ct2 = _enc_pair(eng, 2, 3, l)
+        prod = eng.hmult(ct1, ct2)
+        n = eng.params.n
+        m3 = np.zeros(n, dtype=np.int64)
+        m3[0] = int(4 * prod.scale)
+        ct3 = eng.encrypt_ints(m3, prod.level, prod.scale)
+        prod2 = eng.hmult(prod, ct3)
+        dec = eng.decrypt_bigint(prod2)
+        assert abs(dec[0] / prod2.scale - 24) < 0.05
+
+    def test_hadd_sum(self, small_engine):
+        eng = small_engine
+        l = eng.params.max_level
+        ct1, ct2 = _enc_pair(eng, 7, 11, l)
+        dec = eng.decrypt_bigint(eng.hadd(ct1, ct2))
+        assert abs(dec[0] / SCALE - 18) < 0.001
+
+    def test_hrotate_is_coeff_automorphism(self, small_engine):
+        """Decrypting a rotation yields sigma_g applied to the plaintext poly."""
+        eng = small_engine
+        p = eng.params
+        l = p.max_level
+        rng = np.random.default_rng(9)
+        m = np.zeros(p.n, dtype=np.int64)
+        m[: p.n] = rng.integers(-1000, 1000, size=p.n) * 1000
+        ct = eng.encrypt_ints(m, l, SCALE)
+        out = eng.hrotate(ct, 2)
+        dec = np.array(eng.decrypt_bigint(out))
+        g = p.galois_elt(2)
+        src, neg = p.automorph_coeff_maps(g)
+        expected = np.where(neg, -m[src], m[src])
+        assert np.max(np.abs(dec - expected)) < 1e6  # keyswitch noise << SCALE
