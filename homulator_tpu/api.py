@@ -119,9 +119,9 @@ class CkksEngine:
     form; all homomorphic operations run on device.
     """
 
-    def __init__(self, params: CkksParams, seed: int = 0):
+    def __init__(self, params: CkksParams, seed: int = 0, ntt_mode: str = "auto"):
         self.params = params
-        self.dc = DeviceContext(params)
+        self.dc = DeviceContext(params, ntt_mode=ntt_mode)
         self.ref = RefCkks(params, seed)
         self.relin_key: Optional[jnp.ndarray] = None
         self.rot_keys: Dict[int, jnp.ndarray] = {}

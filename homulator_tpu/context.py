@@ -70,15 +70,20 @@ class Plaintext:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "qinv", "r2", "stage1", "tw_mid", "stage2",
-                 "istage1", "tw_mid_inv", "istage2"],
-    meta_fields=["n1", "n2"],
+                 "istage1", "tw_mid_inv", "istage2",
+                 "psi1_exp", "psi2_exp", "ipsi1_exp", "ipsi2_exp"],
+    meta_fields=["n1", "n2", "use_pallas", "interpret"],
 )
 @dataclasses.dataclass
 class NttBasis:
     """Row-aligned NTT tables for one ordered prime basis (M rows).
 
-    stage*/istage*: tuples of uint32[M, 2**s] Montgomery-form twiddles.
-    tw_mid / tw_mid_inv: uint32[M, n1, n2] Montgomery-form mid twiddles.
+    stage*/istage*: tuples of uint32[M, 2**s] Montgomery-form twiddles
+    (jnp graph path). *_exp: stage twiddles pre-expanded to full columns
+    for the Pallas roll-based butterflies — uint32[M, n, log2(n)], where
+    column s holds, for every row r, the twiddle of the block containing r
+    at stage s (block = r >> (log2(n) - s)). tw_mid / tw_mid_inv:
+    uint32[M, n1, n2] mid twiddles.
     """
 
     q: jnp.ndarray
@@ -90,8 +95,14 @@ class NttBasis:
     istage1: Tuple[jnp.ndarray, ...]
     tw_mid_inv: jnp.ndarray
     istage2: Tuple[jnp.ndarray, ...]
+    psi1_exp: jnp.ndarray
+    psi2_exp: jnp.ndarray
+    ipsi1_exp: jnp.ndarray
+    ipsi2_exp: jnp.ndarray
     n1: int
     n2: int
+    use_pallas: bool
+    interpret: bool
 
 
 @functools.partial(
@@ -141,8 +152,15 @@ class DeviceContext:
     (NttBasis / KeySwitchLevelTables) built and cached here.
     """
 
-    def __init__(self, params: CkksParams):
+    def __init__(self, params: CkksParams, ntt_mode: str = "auto"):
+        """ntt_mode: 'auto' (Pallas on TPU, jnp graph elsewhere), 'pallas',
+        'jnp', or 'interpret' (Pallas kernels in interpreter mode — used by
+        tests on the CPU backend)."""
         self.params = params
+        if ntt_mode == "auto":
+            ntt_mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        assert ntt_mode in ("pallas", "jnp", "interpret")
+        self.ntt_mode = ntt_mode
         p = params
         K = p.num_primes
         qn = p.q_arr
@@ -161,6 +179,20 @@ class DeviceContext:
         )
         self._tw_mid = jnp.asarray(_to_mont_np(t.tw_mid, qn[:, None, None]))
         self._tw_mid_inv = jnp.asarray(_to_mont_np(t.tw_mid_inv, qn[:, None, None]))
+
+        def _expand(stages, n):
+            """[K, n, log2(n)]: column s = per-row block twiddle at stage s."""
+            logn = n.bit_length() - 1
+            out = np.zeros((K, n, logn), dtype=np.uint32)
+            r = np.arange(n)
+            for s, arr in enumerate(stages):
+                out[:, :, s] = np.asarray(arr)[:, r >> (logn - s)]
+            return jnp.asarray(out)
+
+        self._psi1_exp = _expand(self._stage1, t.n1)
+        self._psi2_exp = _expand(self._stage2, t.n2)
+        self._ipsi1_exp = _expand(self._istage1, t.n1)
+        self._ipsi2_exp = _expand(self._istage2, t.n2)
 
         sp_q = qn[p.max_level:]
         self._moddown_s1 = jnp.asarray(_to_mont_np(p.ks.moddown_step1, sp_q))
@@ -200,7 +232,13 @@ class DeviceContext:
             istage1=tuple(s[r] for s in self._istage1),
             tw_mid_inv=self._tw_mid_inv[r],
             istage2=tuple(s[r] for s in self._istage2),
+            psi1_exp=self._psi1_exp[r],
+            psi2_exp=self._psi2_exp[r],
+            ipsi1_exp=self._ipsi1_exp[r],
+            ipsi2_exp=self._ipsi2_exp[r],
             n1=self.params.ntt.n1, n2=self.params.ntt.n2,
+            use_pallas=self.ntt_mode != "jnp",
+            interpret=self.ntt_mode == "interpret",
         )
         self._nt_cache[rows] = nb
         return nb

@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_U16 = jnp.uint32(0xFFFF)
-_SIXTEEN = jnp.uint32(16)
+# Plain Python ints (weak-typed) so these never become captured array
+# constants inside Pallas kernels.
+_U16 = 0xFFFF
+_SIXTEEN = 16
 
 
 def mul32(a: jnp.ndarray, b: jnp.ndarray):

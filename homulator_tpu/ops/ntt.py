@@ -64,6 +64,13 @@ def _gs_stages(x: jnp.ndarray, tws: Tuple[jnp.ndarray, ...], q, qinv) -> jnp.nda
 
 
 def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    if nb.use_pallas:
+        from .ntt_pallas import ntt_pallas
+
+        return ntt_pallas(
+            x, nb.q, nb.qinv, nb.psi1_exp, nb.tw_mid, nb.psi2_exp,
+            n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
+        )
     M, N = x.shape
     n1, n2 = nb.n1, nb.n2
     q3 = nb.q.reshape(M, 1, 1)
@@ -77,6 +84,13 @@ def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
 
 
 def intt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    if nb.use_pallas:
+        from .ntt_pallas import intt_pallas
+
+        return intt_pallas(
+            x, nb.q, nb.qinv, nb.ipsi1_exp, nb.tw_mid_inv, nb.ipsi2_exp,
+            n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
+        )
     M, N = x.shape
     n1, n2 = nb.n1, nb.n2
     q3 = nb.q.reshape(M, 1, 1)
