@@ -145,36 +145,35 @@ class CkksEngine:
         pt = self.ref.encode_ints(coeffs, level, scale)
         return self.dc.upload_pt(pt.data, level, scale)
 
-    def decrypt_bigint(self, ct: Ciphertext):
+    def decrypt_bigint(self, ct: Ciphertext, count=None):
         from .refimpl import RefCiphertext
 
         data = self.dc.download(ct.data)
         return self.ref.decrypt_to_bigint(
-            RefCiphertext(data, ct.level, ct.scale, ct.domain)
+            RefCiphertext(data, ct.level, ct.scale, ct.domain), count=count
         )
 
     # ---- ops -------------------------------------------------------------
     def hadd(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         assert a.level == b.level and a.domain == b.domain == EVAL
-        q = self.dc.q[: a.level]
+        q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_hadd_graph(a.data, b.data, q), a.level, a.scale)
 
     def hsub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         assert a.level == b.level
-        q = self.dc.q[: a.level]
+        q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_hsub_graph(a.data, b.data, q), a.level, a.scale)
 
     def padd(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         assert a.level == pt.level
-        q = self.dc.q[: a.level]
+        q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_padd_graph(a.data, pt.data, q), a.level, a.scale)
 
     def pmult(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         assert a.level == pt.level
         l = a.level
-        out = _pmult_graph(
-            a.data, pt.data, self.dc.q[:l], self.dc.qinv[:l], self.dc.r2[:l]
-        )
+        q, qinv, r2 = self.dc.q_level(l)
+        out = _pmult_graph(a.data, pt.data, q, qinv, r2)
         return Ciphertext(out, l, a.scale * pt.scale)
 
     def hmult(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

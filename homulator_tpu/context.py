@@ -164,21 +164,25 @@ class DeviceContext:
         p = params
         K = p.num_primes
         qn = p.q_arr
-        self.q = jnp.asarray(qn.astype(np.uint32))
-        self.qinv = jnp.asarray(p.qinv_neg.astype(np.uint32))
-        self.r2 = jnp.asarray(p.r2.astype(np.uint32))
+        # All tables are kept HOST-side (numpy) and sliced in numpy; only the
+        # per-basis / per-level slices actually used are device_put (the axon
+        # transport compiles per-shape executables for eager device ops, so
+        # eager gathers/slices on device arrays are very expensive — plain
+        # transfers of pre-sliced host arrays are not).
+        self.q_np = qn.astype(np.uint32)
+        self.qinv_np = p.qinv_neg.astype(np.uint32)
+        self.r2_np = p.r2.astype(np.uint32)
+        self.q = jnp.asarray(self.q_np)
+        self.qinv = jnp.asarray(self.qinv_np)
+        self.r2 = jnp.asarray(self.r2_np)
 
         t = p.ntt
-        self._stage1 = tuple(jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub1.stage_tw)
-        self._stage2 = tuple(jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub2.stage_tw)
-        self._istage1 = tuple(
-            jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub1.inv_stage_tw
-        )
-        self._istage2 = tuple(
-            jnp.asarray(_to_mont_np(s, qn[:, None])) for s in t.sub2.inv_stage_tw
-        )
-        self._tw_mid = jnp.asarray(_to_mont_np(t.tw_mid, qn[:, None, None]))
-        self._tw_mid_inv = jnp.asarray(_to_mont_np(t.tw_mid_inv, qn[:, None, None]))
+        self._stage1 = tuple(_to_mont_np(s, qn[:, None]) for s in t.sub1.stage_tw)
+        self._stage2 = tuple(_to_mont_np(s, qn[:, None]) for s in t.sub2.stage_tw)
+        self._istage1 = tuple(_to_mont_np(s, qn[:, None]) for s in t.sub1.inv_stage_tw)
+        self._istage2 = tuple(_to_mont_np(s, qn[:, None]) for s in t.sub2.inv_stage_tw)
+        self._tw_mid = _to_mont_np(t.tw_mid, qn[:, None, None])
+        self._tw_mid_inv = _to_mont_np(t.tw_mid_inv, qn[:, None, None])
 
         def _expand(stages, n):
             """[K, n, log2(n)]: column s = per-row block twiddle at stage s."""
@@ -186,8 +190,8 @@ class DeviceContext:
             out = np.zeros((K, n, logn), dtype=np.uint32)
             r = np.arange(n)
             for s, arr in enumerate(stages):
-                out[:, :, s] = np.asarray(arr)[:, r >> (logn - s)]
-            return jnp.asarray(out)
+                out[:, :, s] = arr[:, r >> (logn - s)]
+            return out
 
         self._psi1_exp = _expand(self._stage1, t.n1)
         self._psi2_exp = _expand(self._stage2, t.n2)
@@ -195,18 +199,15 @@ class DeviceContext:
         self._ipsi2_exp = _expand(self._istage2, t.n2)
 
         sp_q = qn[p.max_level:]
-        self._moddown_s1 = jnp.asarray(_to_mont_np(p.ks.moddown_step1, sp_q))
-        self._moddown_s2 = jnp.asarray(
-            _to_mont_np(p.ks.moddown_step2, qn[: p.max_level, None])
-        )
-        self._pinv = jnp.asarray(_to_mont_np(p.ks.pinv_modq, qn[: p.max_level]))
-        self._rescale_qinv = jnp.asarray(
-            _to_mont_np(p.rescale_qinv, qn[None, : p.max_level])
-        )
+        self._moddown_s1 = _to_mont_np(p.ks.moddown_step1, sp_q)
+        self._moddown_s2 = _to_mont_np(p.ks.moddown_step2, qn[: p.max_level, None])
+        self._pinv = _to_mont_np(p.ks.pinv_modq, qn[: p.max_level])
+        self._rescale_qinv = _to_mont_np(p.rescale_qinv, qn[None, : p.max_level])
 
         self._nt_cache: Dict[Tuple[int, ...], NttBasis] = {}
         self._ks_cache: Dict[int, KeySwitchLevelTables] = {}
         self._perm_cache: Dict[int, jnp.ndarray] = {}
+        self._rs_cache: Dict[int, jnp.ndarray] = {}
 
     # ---- basis row index helpers ----------------------------------------
     def main_rows(self, level: int) -> Tuple[int, ...]:
@@ -223,21 +224,38 @@ class DeviceContext:
     def ntt_basis(self, rows: Tuple[int, ...]) -> NttBasis:
         if rows in self._nt_cache:
             return self._nt_cache[rows]
-        r = jnp.asarray(np.array(rows, dtype=np.int32))
+        r = np.array(rows, dtype=np.int64)
+        pallas = self.ntt_mode != "jnp"
+        # Only the tables the selected path reads become device arrays; the
+        # other path's slots carry empty placeholders (a pytree leaf that is
+        # never used would still be transferred on every jitted call).
+        empty = jnp.zeros((0,), dtype=jnp.uint32)
+        if pallas:
+            stage1 = stage2 = istage1 = istage2 = ()
+            exps = [
+                jnp.asarray(self._psi1_exp[r]), jnp.asarray(self._psi2_exp[r]),
+                jnp.asarray(self._ipsi1_exp[r]), jnp.asarray(self._ipsi2_exp[r]),
+            ]
+        else:
+            stage1 = tuple(jnp.asarray(s[r]) for s in self._stage1)
+            stage2 = tuple(jnp.asarray(s[r]) for s in self._stage2)
+            istage1 = tuple(jnp.asarray(s[r]) for s in self._istage1)
+            istage2 = tuple(jnp.asarray(s[r]) for s in self._istage2)
+            exps = [empty, empty, empty, empty]
         nb = NttBasis(
-            q=self.q[r], qinv=self.qinv[r], r2=self.r2[r],
-            stage1=tuple(s[r] for s in self._stage1),
-            tw_mid=self._tw_mid[r],
-            stage2=tuple(s[r] for s in self._stage2),
-            istage1=tuple(s[r] for s in self._istage1),
-            tw_mid_inv=self._tw_mid_inv[r],
-            istage2=tuple(s[r] for s in self._istage2),
-            psi1_exp=self._psi1_exp[r],
-            psi2_exp=self._psi2_exp[r],
-            ipsi1_exp=self._ipsi1_exp[r],
-            ipsi2_exp=self._ipsi2_exp[r],
+            q=jnp.asarray(self.q_np[r]),
+            qinv=jnp.asarray(self.qinv_np[r]),
+            r2=jnp.asarray(self.r2_np[r]),
+            stage1=stage1,
+            tw_mid=jnp.asarray(self._tw_mid[r]),
+            stage2=stage2,
+            istage1=istage1,
+            tw_mid_inv=jnp.asarray(self._tw_mid_inv[r]),
+            istage2=istage2,
+            psi1_exp=exps[0], psi2_exp=exps[1],
+            ipsi1_exp=exps[2], ipsi2_exp=exps[3],
             n1=self.params.ntt.n1, n2=self.params.ntt.n2,
-            use_pallas=self.ntt_mode != "jnp",
+            use_pallas=pallas,
             interpret=self.ntt_mode == "interpret",
         )
         self._nt_cache[rows] = nb
@@ -270,9 +288,9 @@ class DeviceContext:
             main_nt=self.ntt_basis(self.main_rows(level)),
             ext_nt=self.ntt_basis(ext),
             special_nt=self.ntt_basis(self.special_rows()),
-            moddown_s1_mont=self._moddown_s1,
-            moddown_s2_mont=self._moddown_s2[:level],
-            pinv_mont=self._pinv[:level],
+            moddown_s1_mont=jnp.asarray(self._moddown_s1),
+            moddown_s2_mont=jnp.asarray(self._moddown_s2[:level]),
+            pinv_mont=jnp.asarray(self._pinv[:level]),
             level=level,
         )
         self._ks_cache[level] = kt
@@ -280,7 +298,22 @@ class DeviceContext:
 
     def rescale_qinv_mont(self, level: int) -> jnp.ndarray:
         """[level-1] Montgomery [q_{level-1}^{-1}]_{q_i}."""
-        return self._rescale_qinv[level - 1, : level - 1]
+        if level not in self._rs_cache:
+            self._rs_cache[level] = jnp.asarray(
+                self._rescale_qinv[level - 1, : level - 1]
+            )
+        return self._rs_cache[level]
+
+    def q_level(self, level: int):
+        """Cached device (q, qinv, r2) triples for the first `level` rows."""
+        key = ("qlv", level)
+        if key not in self._rs_cache:
+            self._rs_cache[key] = (
+                jnp.asarray(self.q_np[:level]),
+                jnp.asarray(self.qinv_np[:level]),
+                jnp.asarray(self.r2_np[:level]),
+            )
+        return self._rs_cache[key]
 
     def automorph_perm(self, g: int) -> jnp.ndarray:
         if g not in self._perm_cache:

@@ -93,6 +93,16 @@ class NttTables:
     eval_pos: np.ndarray  # [n] int64: eval index k -> flat position p
 
 
+def _power_table(base: int, q: int, count: int) -> np.ndarray:
+    """[count] uint64 table of base^j mod q via vectorized doubling."""
+    pows = np.array([1], dtype=np.uint64)
+    step = base % q
+    while len(pows) < count:
+        pows = np.concatenate([pows, (pows * np.uint64(step)) % np.uint64(q)])
+        step = (step * step) % q
+    return pows[:count]
+
+
 def _build_sub_tables(
     n: int, psis: Sequence[int], qs: Sequence[int]
 ) -> SubNttTables:
@@ -106,15 +116,14 @@ def _build_sub_tables(
     """
     logn = n.bit_length() - 1
     K = len(qs)
-    brv = nt.bit_reverse_perm(n)
+    brv = np.array(nt.bit_reverse_perm(n))
 
     psi_br = np.zeros((K, n), dtype=np.uint64)
     psi_inv_br = np.zeros((K, n), dtype=np.uint64)
     for t, (q, psi) in enumerate(zip(qs, psis)):
         psi_inv = nt.modinv(psi, q)
-        for i in range(n):
-            psi_br[t, i] = pow(psi, brv[i], q)
-            psi_inv_br[t, i] = pow(psi_inv, brv[i], q)
+        psi_br[t] = _power_table(psi, q, 2 * n)[brv]
+        psi_inv_br[t] = _power_table(psi_inv, q, 2 * n)[brv]
 
     stage_tw = [np.ascontiguousarray(psi_br[:, (1 << s): (1 << (s + 1))]) for s in range(logn)]
     inv_stage_tw = [
@@ -187,25 +196,19 @@ def _build_ntt_tables(n: int, qs: Sequence[int], psis: Sequence[int]) -> NttTabl
     #   transform on the same butterfly network.
     tw_mid = np.zeros((K, n1, n2), dtype=np.uint64)
     tw_mid_inv = np.zeros((K, n1, n2), dtype=np.uint64)
-    j2 = np.arange(n2)
+    # Exponent matrix is structural (prime independent):
+    # e[r, c] = c * (2*perm1[r] + 1 - n1) mod 2n; inverse uses -e, with the
+    # total 1/N scale folded in (one mid-pipeline constant pass, params.py
+    # module docstring).
+    e = (
+        np.arange(n2)[None, :] * (2 * sub1.perm[:, None] + 1 - n1)
+    ) % (2 * n)
+    e_inv = (-e) % (2 * n)
     for t, (q, psi) in enumerate(zip(qs, psis)):
+        pows = _power_table(psi, q, 2 * n)
         n_inv = nt.modinv(n, q)
-        for r in range(n1):
-            k1 = int(sub1.perm[r])
-            e = (2 * k1 + 1 - n1) % (2 * n)
-            base = pow(psi, e, q)
-            row = np.empty(n2, dtype=np.uint64)
-            acc = 1
-            for c in range(n2):
-                row[c] = acc
-                acc = (acc * base) % q
-            tw_mid[t, r] = row
-            # Inverse includes the total 1/N scale (folded mid-pipeline).
-            inv_base = nt.modinv(int(base), q)
-            acc = n_inv
-            for c in range(n2):
-                tw_mid_inv[t, r, c] = acc
-                acc = (acc * inv_base) % q
+        tw_mid[t] = pows[e]
+        tw_mid_inv[t] = (pows[e_inv] * np.uint64(n_inv)) % np.uint64(q)
 
     # Global eval order: flat p = s*n1 + r (output [n2, n1] row-major)
     # holds eval index k = perm1[r] + n1 * perm2[s].

@@ -229,8 +229,14 @@ class RefCkks:
         )
         return self.intt(m_eval, idx)
 
-    def decrypt_to_bigint(self, ct: RefCiphertext) -> List[int]:
-        """CRT-reconstructed centered coefficients of the decrypted poly."""
+    def decrypt_to_bigint(
+        self, ct: RefCiphertext, count: Optional[int] = None
+    ) -> List[int]:
+        """CRT-reconstructed centered coefficients of the decrypted poly.
+
+        count limits reconstruction to the first `count` coefficients
+        (exact big-int CRT is host-side and O(level) per coefficient).
+        """
         coeffs = self.decrypt_to_coeff(ct)
         level = ct.level
         Q = self.p.q_prod(level)
@@ -240,7 +246,7 @@ class RefCkks:
             Qi = Q // qi
             crt.append(Qi * nt.modinv(Qi % qi, qi) % Q)
         out = []
-        for j in range(self.p.n):
+        for j in range(count if count is not None else self.p.n):
             v = 0
             for i in range(level):
                 v += int(coeffs[i, j]) * crt[i]
