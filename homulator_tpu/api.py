@@ -145,6 +145,24 @@ class CkksEngine:
         pt = self.ref.encode_ints(coeffs, level, scale)
         return self.dc.upload_pt(pt.data, level, scale)
 
+    def encrypt_complex(self, values: np.ndarray, level: int, scale: float) -> Ciphertext:
+        """Encrypt N/2 complex slots (canonical-embedding encode + encrypt)."""
+        pt = self.ref.encode_complex(values, level, scale)
+        ct = self.ref.encrypt(pt)
+        return self.dc.upload_ct(ct.data, level, scale)
+
+    def plaintext_complex(self, values: np.ndarray, level: int, scale: float) -> Plaintext:
+        pt = self.ref.encode_complex(values, level, scale)
+        return self.dc.upload_pt(pt.data, level, scale)
+
+    def decrypt_complex(self, ct: Ciphertext) -> np.ndarray:
+        from .refimpl import RefCiphertext
+
+        data = self.dc.download(ct.data)
+        return self.ref.decrypt_complex(
+            RefCiphertext(data, ct.level, ct.scale, ct.domain)
+        )
+
     def decrypt_bigint(self, ct: Ciphertext, count=None):
         from .refimpl import RefCiphertext
 

@@ -412,3 +412,17 @@ class RefCkks:
         idx = self.main_idx(level)
         rns = self.signed_to_rns(np.asarray(coeffs, dtype=np.int64), idx)
         return RefPlaintext(self.ntt(rns, idx), level, scale)
+
+    def encode_complex(self, values: np.ndarray, level: int, scale: float) -> RefPlaintext:
+        """Encode N/2 complex slots via the canonical embedding."""
+        from .encoder import CkksEncoder
+
+        coeffs = CkksEncoder(self.p.n).encode(values, scale)
+        return self.encode_ints(coeffs, level, scale)
+
+    def decrypt_complex(self, ct: RefCiphertext) -> np.ndarray:
+        """Decrypt and decode to N/2 complex slots."""
+        from .encoder import CkksEncoder
+
+        coeffs = self.decrypt_to_bigint(ct)
+        return CkksEncoder(self.p.n).decode(coeffs, ct.scale)
