@@ -54,8 +54,7 @@ def _pmult_graph(a, pt, q, qinv, r2):
     return jnp.stack([mont_mul(a[0], ptm, q2, qi2), mont_mul(a[1], ptm, q2, qi2)])
 
 
-@jax.jit
-def _hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
+def hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     """TensorCompute -> KeySwitch(d2) -> relinearize add -> 2x Rescale
     (mirrors HMULT's program, src/Operation.cpp:913-1112)."""
     main = kt.main_nt
@@ -71,6 +70,9 @@ def _hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
     r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
     return jnp.stack([r0, r1])
+
+
+_hmult_graph = jax.jit(hmult_graph)
 
 
 @jax.jit

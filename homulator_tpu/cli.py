@@ -1,0 +1,138 @@
+"""CLI: `python -m homulator_tpu run <cfg> <op> <maxLevel> <level> <alpha>`.
+
+Keeps the reference's benchmark contract (README.md:27-35:
+`./Homulator.run <configfile> <operationName> <maxExecutionLevel>
+<currentLevel> <alpha>`), but executes the operation for real on the
+current JAX backend and reports wall-clock latency plus a counters table
+(the simulator reports modeled cycles, Operation.cpp:1094-1110).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax(platform: str | None, cache_dir: str | None):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def run_op(args) -> int:
+    from .config import RunConfig
+
+    jax = _setup_jax(args.platform, args.cache_dir)
+    from .api import CkksEngine
+    from .params import get_params
+    from .stats import Statistic, op_modmul_count
+
+    rc = RunConfig.from_cli(args.cfg, args.op, args.max_level, args.level, args.alpha)
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}")
+    print(f"# N={rc.n} op={rc.op} maxLevel={rc.max_level} level={rc.level} "
+          f"alpha={rc.alpha}")
+
+    stats = Statistic()
+    params = get_params(rc.n, rc.max_level, rc.alpha, rc.scale_bits)
+    with stats.timer("setup/engine"):
+        eng = CkksEngine(params, seed=args.seed)
+    with stats.timer("setup/keygen"):
+        eng.keygen()
+
+    rng = np.random.default_rng(args.seed)
+    slots = rc.n // 2
+    v1 = rng.normal(size=slots)
+    v2 = rng.normal(size=slots)
+    scale = float(1 << rc.scale_bits)
+    with stats.timer("setup/encrypt"):
+        ct1 = eng.encrypt_complex(v1, rc.level, scale)
+        ct2 = eng.encrypt_complex(v2, rc.level, scale)
+        pt2 = eng.plaintext_complex(v2, rc.level, scale)
+
+    def op_once():
+        if rc.op == "hmult":
+            return eng.hmult(ct1, ct2)
+        if rc.op == "hadd":
+            return eng.hadd(ct1, ct2)
+        if rc.op == "hrotate":
+            return eng.hrotate(ct1, 1)
+        if rc.op == "pmult":
+            return eng.pmult(ct1, pt2)
+        if rc.op == "padd":
+            return eng.padd(ct1, pt2)
+        raise SystemExit(f"unknown op {rc.op!r} "
+                         "(expected hmult|hadd|hrotate|pmult|padd)")
+
+    with stats.timer("compile+first_run"):
+        out = op_once()
+        out.data.block_until_ready()
+
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = op_once()
+        out.data.block_until_ready()
+        stats.record_time(f"op/{rc.op}", time.perf_counter() - t0)
+
+    beta = params.beta(rc.level)
+    stats.set("modmul_count", op_modmul_count(rc.op, rc.n, rc.level, rc.alpha, beta))
+    stats.set("limbs", rc.level)
+    stats.set("batchCount", rc.n // 256)  # reference batch granularity
+
+    if args.verify:
+        with stats.timer("verify/decrypt"):
+            got = eng.decrypt_complex(out)
+        if rc.op == "hmult":
+            expected = v1 * v2
+        elif rc.op == "hadd":
+            expected = v1 + v2
+        elif rc.op == "hrotate":
+            expected = np.roll(v1, -1)
+        elif rc.op == "pmult":
+            expected = v1 * v2
+        else:
+            expected = v1 + v2
+        err = float(np.max(np.abs(got - expected)))
+        print(f"# verify max-abs-err = {err:.3e}")
+        if err > 1e-2:
+            print("VERIFY FAILED", file=sys.stderr)
+            return 1
+
+    ts = stats.timings[f"op/{rc.op}"]
+    lat_ms = 1e3 * min(ts)
+    print(f"FHE-Op {rc.op} latency: {lat_ms:.3f} ms "
+          f"({1e3 / lat_ms:.1f} ops/s)")
+    stats.show()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="homulator_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run one FHE operation (reference CLI parity)")
+    runp.add_argument("cfg")
+    runp.add_argument("op")
+    runp.add_argument("max_level", type=int)
+    runp.add_argument("level", type=int)
+    runp.add_argument("alpha", type=int)
+    runp.add_argument("--iters", type=int, default=5)
+    runp.add_argument("--seed", type=int, default=0)
+    runp.add_argument("--verify", action="store_true")
+    runp.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
+    runp.add_argument("--cache-dir", default=".jax_cache")
+    args = ap.parse_args(argv)
+    if args.cmd == "run":
+        return run_op(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
