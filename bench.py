@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline metric for the driver.
+
+Runs the reference's canonical workload — hmult at N=2^16, maxLevel=45,
+level=35, alpha=15 (README.md:32-35: `./Homulator.run ./config/config_4.cfg
+hmult 45 35 15`) — for real on the current JAX backend and prints ONE JSON
+line:
+
+  {"metric": "...", "value": <latency_ms>, "unit": "ms", "vs_baseline": <x>}
+
+Latency is device time measured with a chained on-device loop (see
+homulator_tpu/benchlib.py) so transport dispatch overhead cancels.
+vs_baseline is the speedup over the exact CPU reference implementation
+(refimpl.py) on the same workload, read from BENCH_CPU_BASELINE.json
+(the reference repo publishes no absolute numbers, BASELINE.md; its
+simulator needs ~9 min of wall time just to *simulate* one hmult at a
+quarter of this size). Secondary metrics ride along as extra keys.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from homulator_tpu import benchlib
+    from homulator_tpu.api import CkksEngine
+    from homulator_tpu.params import get_params
+
+    n, max_level, level, alpha = 65536, 45, 35, 15
+    params = get_params(n=n, max_level=max_level, alpha=alpha)
+    eng = CkksEngine(params, seed=1)
+    eng.keygen()
+
+    scale = 2.0**29
+    m = np.zeros(n, dtype=np.int64)
+    m[0] = int(7 * scale)
+    ct1 = eng.encrypt_ints(m, level, scale)
+    ct2 = eng.encrypt_ints(m, level, scale)
+
+    # correctness: one real hmult, decrypt coefficient 0 (expect 49 = 7*7)
+    out = eng.hmult(ct1, ct2)
+    dec = eng.decrypt_bigint(out, count=1)
+    ok = abs(dec[0] / out.scale - 49.0) < 0.01
+
+    hmult_ms = 1e3 * benchlib.hmult_seconds(eng, ct1, ct2)
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.asarray(eng.dc.download(ct1.data))[0].astype(np.uint32))
+    ntt_pair_s = benchlib.ntt_pair_seconds(eng, x, level)
+    ntt_limb_per_s = 2 * level / ntt_pair_s  # NTT + iNTT both count
+
+    cpu_ms = None
+    try:
+        with open("/root/repo/BENCH_CPU_BASELINE.json") as f:
+            cpu_ms = json.load(f).get("cpu_ref_hmult_ms")
+    except Exception:
+        pass
+    vs_baseline = (cpu_ms / hmult_ms) if cpu_ms else 1.0
+
+    print(json.dumps({
+        "metric": "hmult_latency_N2^16_L45_l35_a15",
+        "value": round(hmult_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2),
+        "backend": jax.default_backend(),
+        "correct": bool(ok),
+        "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
+        "cpu_ref_hmult_ms": cpu_ms,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

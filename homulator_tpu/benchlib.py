@@ -1,0 +1,80 @@
+"""Benchmark measurement helpers.
+
+Device-time measurement on the axon transport is unreliable per-dispatch
+(async ack + tunnel latency + host-load sensitivity), so ops are timed as
+a *device-side chained loop*: one jitted program runs the op body k times
+with a data dependency between iterations (lax.fori_loop), and the
+difference quotient (T(k2) - T(k1)) / (k2 - k1) cancels dispatch overhead
+and any constant costs. Completion is forced by fetching a tiny slice.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import hmult_graph
+from .ops.keyswitch import keyswitch
+from .ops.ntt import intt, ntt
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, *, iters: int):
+    """Runs the full hmult body `iters` times; each iteration's output is
+    re-extended to the input level (pad with the dropped limb of `a`) and
+    fed back, forcing sequential device execution."""
+    def body(_, carry):
+        out = hmult_graph(carry, b, evk, kt, last_nt, out_nt, rs)
+        return jnp.concatenate([out, carry[:, -1:]], axis=1)
+
+    return jax.lax.fori_loop(0, iters, body, a)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _chained_ntt(x, nb, *, iters: int):
+    """iters rounds of iNTT∘NTT (shape-preserving chain)."""
+    def body(_, carry):
+        return intt(ntt(carry, nb), nb)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+def _force(x) -> None:
+    np.asarray(jax.device_get(x.ravel()[:8]))
+
+
+def time_chained(fn: Callable, k1: int, k2: int, *args, **kw) -> float:
+    """Seconds per iteration via difference quotient; warms both variants."""
+    _force(fn(*args, iters=k1, **kw))
+    _force(fn(*args, iters=k2, **kw))
+    t1 = time.perf_counter()
+    _force(fn(*args, iters=k1, **kw))
+    t1 = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    _force(fn(*args, iters=k2, **kw))
+    t2 = time.perf_counter() - t2
+    return max(t2 - t1, 1e-9) / (k2 - k1)
+
+
+def hmult_seconds(eng, ct1, ct2, k1: int = 2, k2: int = 6) -> float:
+    dc = eng.dc
+    level = ct1.level
+    kt = dc.keyswitch_tables(level)
+    last_nt = dc.ntt_basis((level - 1,))
+    out_nt = dc.ntt_basis(dc.main_rows(level - 1))
+    rs = dc.rescale_qinv_mont(level)
+    return time_chained(
+        _chained_hmult, k1, k2, ct1.data, ct2.data, eng.relin_key,
+        kt, last_nt, out_nt, rs,
+    )
+
+
+def ntt_pair_seconds(eng, x, level: int, k1: int = 4, k2: int = 12) -> float:
+    """Seconds per (NTT + iNTT) over `level` limbs."""
+    nb = eng.dc.ntt_basis(eng.dc.main_rows(level))
+    return time_chained(_chained_ntt, k1, k2, x, nb)

@@ -56,13 +56,26 @@ class KeySwitchKey:
 
 
 class RefCkks:
-    def __init__(self, params: CkksParams, seed: int = 0):
+    def __init__(self, params: CkksParams, seed: int = 0, use_native=None):
+        """use_native: None = auto (use native/libckks_core.so when built),
+        False = pure numpy (the canonical spec path used by algorithm
+        tests), True = require the native library."""
         self.p = params
         self.rng = np.random.default_rng(seed)
+        self._native = None
+        if use_native is not False:
+            from . import native as _nat
+
+            if _nat.available():
+                self._native = _nat.NativeNtt(params)
+            elif use_native is True:
+                raise RuntimeError("native library requested but not built")
 
     # ------------------------------------------------------------------ NTT
     def ntt(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
         """Forward negacyclic NTT. x: [M, N] residues, idx: [M] prime indices."""
+        if self._native is not None:
+            return self._native.ntt(x, idx)
         p, t = self.p, self.p.ntt
         M = x.shape[0]
         q = p.q_arr[idx][:, None, None]
@@ -74,6 +87,8 @@ class RefCkks:
         return y.reshape(M, t.n)
 
     def intt(self, x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            return self._native.intt(x, idx)
         p, t = self.p, self.p.ntt
         M = x.shape[0]
         q = p.q_arr[idx][:, None, None]
@@ -255,6 +270,38 @@ class RefCkks:
                 v -= Q
             out.append(v)
         return out
+
+    def decrypt_small(self, ct: RefCiphertext, use_primes: int = 3) -> np.ndarray:
+        """Centered decryption via CRT over the first few limbs only.
+
+        Valid whenever |message + noise| < (q_0*...*q_{k-1})/2 — true for any
+        sanely-scaled CKKS message (|m| ~ scale^2 * |v| << 2**88 for k=3).
+        O(n) python-int work instead of O(n * level): the fast decode path.
+        """
+        k = min(use_primes, ct.level)
+        coeffs = self.decrypt_to_coeff(ct)[:k]
+        Qk = math.prod(self.qs_small(k))
+        crt = []
+        for i in range(k):
+            qi = self.p.qs[i]
+            Qi = Qk // qi
+            crt.append(Qi * nt.modinv(Qi % qi, qi) % Qk)
+        out = np.zeros(self.p.n, dtype=object)
+        for i in range(k):
+            out += coeffs[i].astype(object) * crt[i]
+        out %= Qk
+        half = Qk // 2
+        return np.where(out > half, out - Qk, out)
+
+    def qs_small(self, k: int):
+        return self.p.qs[:k]
+
+    def decrypt_complex_fast(self, ct: RefCiphertext) -> np.ndarray:
+        """Decrypt + decode via the 3-prime CRT shortcut."""
+        from .encoder import CkksEncoder
+
+        coeffs = self.decrypt_small(ct)
+        return CkksEncoder(self.p.n).decode(coeffs, ct.scale)
 
     # ------------------------------------------------------- elementwise ops
     def hadd(self, a: RefCiphertext, b: RefCiphertext) -> RefCiphertext:
