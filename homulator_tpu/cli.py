@@ -76,11 +76,22 @@ def run_op(args) -> int:
         out = op_once()
         out.data.block_until_ready()
 
+    profile_ctx = None
+    if args.profile:
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     for _ in range(args.iters):
         t0 = time.perf_counter()
         out = op_once()
         out.data.block_until_ready()
         stats.record_time(f"op/{rc.op}", time.perf_counter() - t0)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"# profiler trace written to {args.profile}")
 
     beta = params.beta(rc.level)
     stats.set("modmul_count", op_modmul_count(rc.op, rc.n, rc.level, rc.alpha, beta))
@@ -126,6 +137,8 @@ def main(argv=None) -> int:
     runp.add_argument("--iters", type=int, default=5)
     runp.add_argument("--seed", type=int, default=0)
     runp.add_argument("--verify", action="store_true")
+    runp.add_argument("--profile", default=None,
+                      help="write a jax.profiler trace to this directory")
     runp.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     runp.add_argument("--cache-dir", default=".jax_cache")
     args = ap.parse_args(argv)

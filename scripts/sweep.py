@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark sweep: parameter sets A-D x ops x levels (script/** parity).
+
+The reference ships per-set shell sweeps (script/para{A,B,C,D}/*.sh) that
+run every op at every level from maxLevel down to 2 and tee logs into
+outLogs/<set>/... This runner does the same against the real implementation,
+writing one JSON line per run to outLogs/<set>/<op>.jsonl.
+
+Each distinct level is a distinct XLA program; first runs pay compilation
+(cached on disk under .jax_cache), so default sweeps sample a level subset.
+Use --levels all for the full reference grid.
+
+Usage: python scripts/sweep.py [--sets A B] [--ops hmult hadd] [--levels 35 20 10 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Reference parameter sets (script/README.md:17-22).
+PARAM_SETS = {
+    "A": dict(n=2**15, max_level=28, alpha=28),
+    "B": dict(n=2**16, max_level=45, alpha=15),
+    "C": dict(n=2**16, max_level=24, alpha=6),
+    "D": dict(n=2**16, max_level=26, alpha=9),
+}
+OPS = ["hmult", "hadd", "hrotate", "pmult", "padd"]
+
+
+def run_sweep(sets, ops, levels_arg, iters, out_dir):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import numpy as np
+
+    from homulator_tpu import benchlib
+    from homulator_tpu.api import CkksEngine
+    from homulator_tpu.params import get_params
+
+    for set_name in sets:
+        cfg = PARAM_SETS[set_name]
+        params = get_params(**cfg)
+        eng = CkksEngine(params, seed=1)
+        eng.keygen()
+        scale = 2.0**29
+        if levels_arg == "all":
+            levels = list(range(cfg["max_level"], 1, -1))
+        else:
+            levels = [l for l in levels_arg if 2 <= l <= cfg["max_level"]]
+        os.makedirs(os.path.join(out_dir, set_name), exist_ok=True)
+        for op in ops:
+            path = os.path.join(out_dir, set_name, f"{op}.jsonl")
+            with open(path, "a") as f:
+                for level in levels:
+                    m = np.zeros(params.n, dtype=np.int64)
+                    m[0] = int(3 * scale)
+                    ct1 = eng.encrypt_ints(m, level, scale)
+                    ct2 = eng.encrypt_ints(m, level, scale)
+                    pt = eng.plaintext_ints(m, level, 1.0)
+                    t_compile = time.perf_counter()
+                    if op == "hmult" and level >= 2:
+                        sec = benchlib.hmult_seconds(eng, ct1, ct2)
+                    else:
+                        def once():
+                            if op == "hadd":
+                                return eng.hadd(ct1, ct2)
+                            if op == "hrotate":
+                                return eng.hrotate(ct1, 1)
+                            if op == "pmult":
+                                return eng.pmult(ct1, pt)
+                            if op == "padd":
+                                return eng.padd(ct1, pt)
+                            return eng.hmult(ct1, ct2)
+
+                        out = once()
+                        out.data.block_until_ready()
+                        ts = []
+                        for _ in range(iters):
+                            t0 = time.perf_counter()
+                            out = once()
+                            out.data.block_until_ready()
+                            ts.append(time.perf_counter() - t0)
+                        sec = min(ts)
+                    rec = {
+                        "set": set_name, "op": op, "n": params.n,
+                        "max_level": cfg["max_level"], "level": level,
+                        "alpha": cfg["alpha"],
+                        "latency_ms": round(1e3 * sec, 4),
+                        "setup_s": round(time.perf_counter() - t_compile, 1),
+                        "backend": jax.default_backend(),
+                    }
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sets", nargs="+", default=["B"], choices=list(PARAM_SETS))
+    ap.add_argument("--ops", nargs="+", default=OPS, choices=OPS)
+    ap.add_argument("--levels", nargs="+", default=["35", "20", "10", "2"])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default="outLogs")
+    args = ap.parse_args()
+    levels = "all" if args.levels == ["all"] else [int(x) for x in args.levels]
+    run_sweep(args.sets, args.ops, levels, args.iters, args.out)
+
+
+if __name__ == "__main__":
+    main()
