@@ -70,8 +70,7 @@ class Plaintext:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "qinv", "r2", "stage1", "tw_mid", "stage2",
-                 "istage1", "tw_mid_inv", "istage2",
-                 "psi1_exp", "psi2_exp", "ipsi1_exp", "ipsi2_exp"],
+                 "istage1", "tw_mid_inv", "istage2", "pfwd", "pinv"],
     meta_fields=["n1", "n2", "use_pallas", "interpret"],
 )
 @dataclasses.dataclass
@@ -79,11 +78,16 @@ class NttBasis:
     """Row-aligned NTT tables for one ordered prime basis (M rows).
 
     stage*/istage*: tuples of uint32[M, 2**s] Montgomery-form twiddles
-    (jnp graph path). *_exp: stage twiddles pre-expanded to full columns
-    for the Pallas roll-based butterflies — uint32[M, n, log2(n)], where
-    column s holds, for every row r, the twiddle of the block containing r
-    at stage s (block = r >> (log2(n) - s)). tw_mid / tw_mid_inv:
-    uint32[M, n1, n2] mid twiddles.
+    (jnp graph path). pfwd/pinv: Pallas-kernel tables using Shoup pairs
+    (plain value + floor(w*2^32/q)):
+
+      pfwd = (psi1_exp, psi1_sh, mid, mid_sh, psi2_exp, psi2_sh)
+      pinv = (ipsi1_exp, ipsi1_sh, mid_inv, mid_inv_sh, ipsi2_exp, ipsi2_sh)
+
+    where *_exp are stage twiddles pre-expanded to full columns
+    (uint32[M, n, log2(n)]: column s holds, for every row r, the twiddle of
+    the block containing r at stage s, block = r >> (log2(n) - s)) and
+    mid* are the uint32[M, n1, n2] mid twiddles.
     """
 
     q: jnp.ndarray
@@ -95,10 +99,8 @@ class NttBasis:
     istage1: Tuple[jnp.ndarray, ...]
     tw_mid_inv: jnp.ndarray
     istage2: Tuple[jnp.ndarray, ...]
-    psi1_exp: jnp.ndarray
-    psi2_exp: jnp.ndarray
-    ipsi1_exp: jnp.ndarray
-    ipsi2_exp: jnp.ndarray
+    pfwd: Tuple[jnp.ndarray, ...]
+    pinv: Tuple[jnp.ndarray, ...]
     n1: int
     n2: int
     use_pallas: bool
@@ -107,7 +109,7 @@ class NttBasis:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["step1_mont", "mat_other_mont"],
+    data_fields=["step1_mont", "mat_other_mont", "mat_other_pl", "mat_other_sh"],
     meta_fields=["lo", "hi"],
 )
 @dataclasses.dataclass
@@ -115,14 +117,18 @@ class ModUpDigitTables:
     """Per-digit ModUp tables at a fixed level, rows aligned to ext basis.
 
     step1_mont: uint32[nd] — [(Q_d/q_i)^{-1}]_{q_i} for i in the digit.
-    mat_other_mont: uint32[K_ext - nd, nd] — [Q_d/q_i]_{p_j} for every ext
-    basis row j *outside* the digit (own rows pass residues through
-    unscaled — the reference's Decomp routing, src/Operation.cpp:190-292).
+    mat_other: uint32[K_ext - nd, nd] — [Q_d/q_i]_{p_j} for every ext basis
+    row j *outside* the digit (own rows pass residues through unscaled —
+    the reference's Decomp routing, src/Operation.cpp:190-292). Stored as
+    a (Montgomery, plain, Shoup) triple: the jnp path multiplies with the
+    Montgomery form; the Pallas kernel with the (plain, Shoup) pair.
     lo/hi: digit's row span within the ext basis ordering.
     """
 
     step1_mont: jnp.ndarray
     mat_other_mont: jnp.ndarray
+    mat_other_pl: jnp.ndarray
+    mat_other_sh: jnp.ndarray
     lo: int
     hi: int
 
@@ -130,7 +136,8 @@ class ModUpDigitTables:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["digits", "main_nt", "ext_nt", "special_nt",
-                 "moddown_s1_mont", "moddown_s2_mont", "pinv_mont"],
+                 "moddown_s1_mont", "moddown_s2_mont",
+                 "moddown_s2_pl", "moddown_s2_sh", "pinv_mont"],
     meta_fields=["level"],
 )
 @dataclasses.dataclass
@@ -140,7 +147,9 @@ class KeySwitchLevelTables:
     ext_nt: NttBasis
     special_nt: NttBasis
     moddown_s1_mont: jnp.ndarray  # [alpha]
-    moddown_s2_mont: jnp.ndarray  # [level, alpha]
+    moddown_s2_mont: jnp.ndarray  # [level, alpha] (jnp path)
+    moddown_s2_pl: jnp.ndarray  # [level, alpha] (Pallas path, plain)
+    moddown_s2_sh: jnp.ndarray  # [level, alpha] (Pallas path, Shoup)
     pinv_mont: jnp.ndarray  # [level]
     level: int
 
@@ -184,19 +193,35 @@ class DeviceContext:
         self._tw_mid = _to_mont_np(t.tw_mid, qn[:, None, None])
         self._tw_mid_inv = _to_mont_np(t.tw_mid_inv, qn[:, None, None])
 
+        def _shoup(w_plain: np.ndarray) -> np.ndarray:
+            """floor(w * 2^32 / q) per row (w standard domain, < 2^30)."""
+            qq = qn.reshape((K,) + (1,) * (w_plain.ndim - 1)).astype(np.uint64)
+            return ((w_plain.astype(np.uint64) << np.uint64(32)) // qq).astype(
+                np.uint32
+            )
+
         def _expand(stages, n):
             """[K, n, log2(n)]: column s = per-row block twiddle at stage s."""
             logn = n.bit_length() - 1
             out = np.zeros((K, n, logn), dtype=np.uint32)
             r = np.arange(n)
             for s, arr in enumerate(stages):
-                out[:, :, s] = arr[:, r >> (logn - s)]
+                out[:, :, s] = np.asarray(arr, dtype=np.uint64)[:, r >> (logn - s)]
             return out
 
-        self._psi1_exp = _expand(self._stage1, t.n1)
-        self._psi2_exp = _expand(self._stage2, t.n2)
-        self._ipsi1_exp = _expand(self._istage1, t.n1)
-        self._ipsi2_exp = _expand(self._istage2, t.n2)
+        # Pallas-kernel (Shoup) tables: plain-domain twiddles + quotients.
+        self._p1_pl = _expand(t.sub1.stage_tw, t.n1)
+        self._p2_pl = _expand(t.sub2.stage_tw, t.n2)
+        self._ip1_pl = _expand(t.sub1.inv_stage_tw, t.n1)
+        self._ip2_pl = _expand(t.sub2.inv_stage_tw, t.n2)
+        self._p1_sh = _shoup(self._p1_pl)
+        self._p2_sh = _shoup(self._p2_pl)
+        self._ip1_sh = _shoup(self._ip1_pl)
+        self._ip2_sh = _shoup(self._ip2_pl)
+        self._mid_pl = t.tw_mid.astype(np.uint32)
+        self._midinv_pl = t.tw_mid_inv.astype(np.uint32)
+        self._mid_sh = _shoup(self._mid_pl)
+        self._midinv_sh = _shoup(self._midinv_pl)
 
         sp_q = qn[p.max_level:]
         self._moddown_s1 = _to_mont_np(p.ks.moddown_step1, sp_q)
@@ -232,28 +257,40 @@ class DeviceContext:
         empty = jnp.zeros((0,), dtype=jnp.uint32)
         if pallas:
             stage1 = stage2 = istage1 = istage2 = ()
-            exps = [
-                jnp.asarray(self._psi1_exp[r]), jnp.asarray(self._psi2_exp[r]),
-                jnp.asarray(self._ipsi1_exp[r]), jnp.asarray(self._ipsi2_exp[r]),
-            ]
+            mid = midinv = empty
+            pfwd = tuple(
+                jnp.asarray(a[r]) for a in (
+                    self._p1_pl, self._p1_sh, self._mid_pl, self._mid_sh,
+                    self._p2_pl, self._p2_sh,
+                )
+            )
+            pinv = tuple(
+                jnp.asarray(a[r]) for a in (
+                    self._ip1_pl, self._ip1_sh, self._midinv_pl,
+                    self._midinv_sh, self._ip2_pl, self._ip2_sh,
+                )
+            )
         else:
             stage1 = tuple(jnp.asarray(s[r]) for s in self._stage1)
             stage2 = tuple(jnp.asarray(s[r]) for s in self._stage2)
             istage1 = tuple(jnp.asarray(s[r]) for s in self._istage1)
             istage2 = tuple(jnp.asarray(s[r]) for s in self._istage2)
-            exps = [empty, empty, empty, empty]
+            mid = jnp.asarray(self._tw_mid[r])
+            midinv = jnp.asarray(self._tw_mid_inv[r])
+            pfwd = ()
+            pinv = ()
         nb = NttBasis(
             q=jnp.asarray(self.q_np[r]),
             qinv=jnp.asarray(self.qinv_np[r]),
             r2=jnp.asarray(self.r2_np[r]),
             stage1=stage1,
-            tw_mid=jnp.asarray(self._tw_mid[r]),
+            tw_mid=mid,
             stage2=stage2,
             istage1=istage1,
-            tw_mid_inv=jnp.asarray(self._tw_mid_inv[r]),
+            tw_mid_inv=midinv,
             istage2=istage2,
-            psi1_exp=exps[0], psi2_exp=exps[1],
-            ipsi1_exp=exps[2], ipsi2_exp=exps[3],
+            pfwd=pfwd,
+            pinv=pinv,
             n1=self.params.ntt.n1, n2=self.params.ntt.n2,
             use_pallas=pallas,
             interpret=self.ntt_mode == "interpret",
@@ -267,29 +304,56 @@ class DeviceContext:
         p = self.params
         qn = p.q_arr
         ext = self.ext_rows(level)
-        ext_np = np.array(ext)
+        pallas = self.ntt_mode != "jnp"
+        empty = jnp.zeros((0,), dtype=jnp.uint32)
+
+        def _sh(w_plain: np.ndarray, qrows: np.ndarray) -> np.ndarray:
+            return (
+                (w_plain.astype(np.uint64) << np.uint64(32))
+                // qrows.astype(np.uint64)
+            ).astype(np.uint32)
+
         digits = []
         for d in range(p.beta(level)):
             lo, hi = p.digit_range(level, d)
-            nd = hi - lo
             s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
             full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
             other_rows = np.array([j for j in ext if not (lo <= j < hi)])
-            mat_other = _to_mont_np(full_mat[other_rows], qn[other_rows, None])
+            mat_pl = full_mat[other_rows]
+            q_col = qn[other_rows, None]
+            if pallas:
+                mat_mont = empty
+                pl_ = jnp.asarray(mat_pl.astype(np.uint32))
+                sh_ = jnp.asarray(_sh(mat_pl, q_col))
+            else:
+                mat_mont = jnp.asarray(_to_mont_np(mat_pl, q_col))
+                pl_ = sh_ = empty
             digits.append(
                 ModUpDigitTables(
                     step1_mont=jnp.asarray(s1),
-                    mat_other_mont=jnp.asarray(mat_other),
+                    mat_other_mont=mat_mont,
+                    mat_other_pl=pl_,
+                    mat_other_sh=sh_,
                     lo=lo, hi=hi,
                 )
             )
+        md2_pl = p.ks.moddown_step2[:level]
+        if pallas:
+            md2_mont = empty
+            md2_p = jnp.asarray(md2_pl.astype(np.uint32))
+            md2_s = jnp.asarray(_sh(md2_pl, qn[:level, None]))
+        else:
+            md2_mont = jnp.asarray(self._moddown_s2[:level])
+            md2_p = md2_s = empty
         kt = KeySwitchLevelTables(
             digits=tuple(digits),
             main_nt=self.ntt_basis(self.main_rows(level)),
             ext_nt=self.ntt_basis(ext),
             special_nt=self.ntt_basis(self.special_rows()),
             moddown_s1_mont=jnp.asarray(self._moddown_s1),
-            moddown_s2_mont=jnp.asarray(self._moddown_s2[:level]),
+            moddown_s2_mont=md2_mont,
+            moddown_s2_pl=md2_p,
+            moddown_s2_sh=md2_s,
             pinv_mont=jnp.asarray(self._pinv[:level]),
             level=level,
         )

@@ -30,7 +30,8 @@ def bconv_step2(
     out_q: jnp.ndarray,  # [Mout]
     out_qinv: jnp.ndarray,
 ) -> jnp.ndarray:
-    """out[j] = sum_i xhat[i] * mat[j, i] mod out_q[j]  -> [Mout, N]."""
+    """out[j] = sum_i xhat[i] * mat[j, i] mod out_q[j]  -> [Mout, N].
+    (jnp graph path; the Pallas kernel lives in bconv_pallas.py.)"""
     nd = xhat.shape[0]
     oq = out_q[:, None]
     oqi = out_qinv[:, None]

@@ -43,9 +43,17 @@ def modup_digit(
     other_rows = jnp.concatenate(
         [jnp.arange(0, lo), jnp.arange(hi, ext_q.shape[0])]
     )
-    conv = bconv_step2(
-        xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
-    )
+    if kt.ext_nt.use_pallas:
+        from .bconv_pallas import bconv_step2_pallas
+
+        conv = bconv_step2_pallas(
+            xhat, dt.mat_other_pl, dt.mat_other_sh, ext_q[other_rows],
+            interpret=kt.ext_nt.interpret,
+        )
+    else:
+        conv = bconv_step2(
+            xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
+        )
     # Reassemble ext-basis rows: [0:lo) converted | [lo:hi) own | [hi:) converted.
     return jnp.concatenate([conv[:lo], own, conv[lo:]], axis=0)
 
@@ -57,9 +65,17 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     sp_q = kt.special_nt.q
     sp_qinv = kt.special_nt.qinv
     bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
-    conv = bconv_step2(
-        bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
-    )
+    if kt.main_nt.use_pallas:
+        from .bconv_pallas import bconv_step2_pallas
+
+        conv = bconv_step2_pallas(
+            bhat, kt.moddown_s2_pl, kt.moddown_s2_sh, kt.main_nt.q,
+            interpret=kt.main_nt.interpret,
+        )
+    else:
+        conv = bconv_step2(
+            bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
+        )
     conv_eval = ntt(conv, kt.main_nt)
     mq = kt.main_nt.q[:, None]
     mqi = kt.main_nt.qinv[:, None]

@@ -83,6 +83,25 @@ def to_mont(a: jnp.ndarray, r2, q, qinv_neg) -> jnp.ndarray:
     return mont_mul(a, r2, q, qinv_neg)
 
 
+def mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """High 32 bits of a*b."""
+    return mul32(a, b)[0]
+
+
+def shoup_mul(a: jnp.ndarray, w: jnp.ndarray, w_shoup: jnp.ndarray, q) -> jnp.ndarray:
+    """a * w mod q via Shoup precomputation: w_shoup = floor(w * 2^32 / q).
+
+    r = a*w - floor(a*w_shoup / 2^32) * q lies in [0, 2q) for ANY a < 2^32
+    (the floor-quotient error is at most 1), so one conditional subtract
+    lands in [0, q). Cheaper than Montgomery for constant multiplicands
+    (~10 vs ~11 hardware multiplies, fewer carries) at the cost of a second
+    precomputed table. Used by the Pallas kernels for twiddles/matrices.
+    """
+    hi = mulhi32(a, w_shoup)
+    r = mullo32(a, w) - mullo32(hi, q)
+    return jnp.where(r >= q, r - q, r)
+
+
 def modadd(a: jnp.ndarray, b: jnp.ndarray, q) -> jnp.ndarray:
     s = a + b  # both < 2**30: no wrap
     return jnp.where(s >= q, s - q, s)

@@ -68,8 +68,7 @@ def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
         from .ntt_pallas import ntt_pallas
 
         return ntt_pallas(
-            x, nb.q, nb.qinv, nb.psi1_exp, nb.tw_mid, nb.psi2_exp,
-            n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
+            x, nb.q, nb.pfwd, n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
         )
     M, N = x.shape
     n1, n2 = nb.n1, nb.n2
@@ -88,8 +87,7 @@ def intt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
         from .ntt_pallas import intt_pallas
 
         return intt_pallas(
-            x, nb.q, nb.qinv, nb.ipsi1_exp, nb.tw_mid_inv, nb.ipsi2_exp,
-            n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
+            x, nb.q, nb.pinv, n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
         )
     M, N = x.shape
     n1, n2 = nb.n1, nb.n2

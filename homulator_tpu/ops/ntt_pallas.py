@@ -9,15 +9,17 @@ grid runs over limbs (the reference's limb-per-cluster parallelism,
 Driver.h:158), with Pallas double-buffering consecutive limbs' DMA against
 compute.
 
-Butterfly formulation chosen for Mosaic: everything stays a 2-D [n, m]
-vector op. A stage's partner rows come from two sublane rolls (+H / -H)
-selected by a (row & H) mask, and its per-block twiddles are pre-expanded
-host-side into full [n] columns (NttBasis.*_exp, one column per stage) —
-no 1-D reshapes, no gathers, no data-dependent layout changes inside the
-kernel. All tables are Montgomery-form uint32.
+Kernel-level choices (all bit-exact vs the jnp/Montgomery graph path,
+asserted in tests):
 
-The jnp graph version (ops/ntt.py) remains the portable reference path;
-this kernel is bit-identical to it (asserted in tests).
+* Constant multiplies use Shoup pairs (w, floor(w*2^32/q)) — ~20% fewer
+  hardware multiplies than Montgomery REDC and no dependence on qinv.
+* Stages with H >= 8 (sublane tile) run as sliced butterflies that
+  multiply only the v half; the three sub-tile stages (H = 4, 2, 1) use
+  sublane rolls with (row & H) masks — everything stays a 2-D [n, m]
+  vector op (no 1-D reshapes, no gathers).
+* Per-block stage twiddles are pre-expanded host-side into [n, log2 n]
+  columns (NttBasis.pfwd/pinv).
 """
 
 from __future__ import annotations
@@ -29,12 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import modadd, modsub, mont_mul
+from .modmath import modadd, modsub, shoup_mul
+
+_MIN_SLICE_H = 8  # sublane tile for uint32; below this, slices relayout
 
 
 def _roll_rows(a: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
-    """Circular roll along axis 0; jnp.roll in interpret mode (pltpu.roll
-    requires the Mosaic lowering)."""
     if interpret:
         return jnp.roll(a, shift, axis=0)
     return pltpu.roll(a, shift, axis=0)
@@ -48,65 +50,106 @@ def _partner(a: jnp.ndarray, H: int, first, interpret: bool) -> jnp.ndarray:
     return jnp.where(first, down, up)
 
 
-def _ct_stages_val(a, twe_cols, q, qinv, interpret):
-    """CT butterflies: a [n, m]; twe_cols [n, log2(n)] expanded twiddles."""
+def _ct_stage_slice(a, w_col, wsh_col, H, q):
+    """One CT stage via sublane-aligned slicing: multiplies only the v half."""
+    n, m = a.shape
+    B = n // (2 * H)
+    a3 = a.reshape(B, 2 * H, m)
+    w3 = w_col.reshape(B, 2 * H, 1)
+    wsh3 = wsh_col.reshape(B, 2 * H, 1)
+    u = a3[:, :H]
+    v = shoup_mul(a3[:, H:], w3[:, H:], wsh3[:, H:], q)
+    return jnp.concatenate([modadd(u, v, q), modsub(u, v, q)], axis=1).reshape(n, m)
+
+
+def _gs_stage_slice(a, w_col, wsh_col, H, q):
+    n, m = a.shape
+    B = n // (2 * H)
+    a3 = a.reshape(B, 2 * H, m)
+    w3 = w_col.reshape(B, 2 * H, 1)
+    wsh3 = wsh_col.reshape(B, 2 * H, 1)
+    u = a3[:, :H]
+    v = a3[:, H:]
+    s0 = modadd(u, v, q)
+    s1 = shoup_mul(modsub(u, v, q), w3[:, H:], wsh3[:, H:], q)
+    return jnp.concatenate([s0, s1], axis=1).reshape(n, m)
+
+
+def _ct_stage_roll(a, w_col, wsh_col, H, q, interpret):
+    n = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
+    first = (row & H) == 0
+    p = _partner(a, H, first, interpret)
+    # v = partner on first rows, self on second; u is the other one.
+    t = shoup_mul(jnp.where(first, p, a), w_col, wsh_col, q)
+    return jnp.where(first, modadd(a, t, q), modsub(p, t, q))
+
+
+def _gs_stage_roll(a, w_col, wsh_col, H, q, interpret):
+    n = a.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
+    first = (row & H) == 0
+    p = _partner(a, H, first, interpret)
+    # first rows: u + v; second rows: (u - v) * w with u = partner, v = a.
+    diff = modsub(p, a, q)
+    return jnp.where(first, modadd(a, p, q), shoup_mul(diff, w_col, wsh_col, q))
+
+
+def _ct_stages_val(a, w_cols, wsh_cols, q, interpret):
+    """CT butterflies: a [n, m]; w_cols/wsh_cols [n, log2(n)] Shoup pairs."""
     n = a.shape[0]
     logn = n.bit_length() - 1
-    row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
     for s in range(logn):
         H = n >> (s + 1)
-        first = (row & H) == 0
-        p = _partner(a, H, first, interpret)
-        # v = partner on first rows, self on second; u is the other one.
-        t = mont_mul(jnp.where(first, p, a), twe_cols[:, s: s + 1], q, qinv)
-        a = jnp.where(first, modadd(a, t, q), modsub(p, t, q))
+        w = w_cols[:, s: s + 1]
+        wsh = wsh_cols[:, s: s + 1]
+        if H >= _MIN_SLICE_H:
+            a = _ct_stage_slice(a, w, wsh, H, q)
+        else:
+            a = _ct_stage_roll(a, w, wsh, H, q, interpret)
     return a
 
 
-def _gs_stages_val(a, twe_cols, q, qinv, interpret):
-    """GS inverse butterflies (no 1/n factor; folded into tw_mid_inv)."""
+def _gs_stages_val(a, w_cols, wsh_cols, q, interpret):
+    """GS inverse butterflies (no 1/n factor; folded into the mid table)."""
     n = a.shape[0]
     logn = n.bit_length() - 1
-    row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
     for s in range(logn - 1, -1, -1):
         H = n >> (s + 1)
-        first = (row & H) == 0
-        p = _partner(a, H, first, interpret)
-        # first rows: u + v; second rows: (u - v) * w with u = partner, v = a.
-        diff = modsub(p, a, q)
-        a = jnp.where(
-            first,
-            modadd(a, p, q),
-            mont_mul(diff, twe_cols[:, s: s + 1], q, qinv),
-        )
+        w = w_cols[:, s: s + 1]
+        wsh = wsh_cols[:, s: s + 1]
+        if H >= _MIN_SLICE_H:
+            a = _gs_stage_slice(a, w, wsh, H, q)
+        else:
+            a = _gs_stage_roll(a, w, wsh, H, q, interpret)
     return a
 
 
 def _make_ntt_kernel(interpret: bool):
-    def kernel(q_ref, qi_ref, psi1_ref, twmid_ref, psi2_ref, x_ref, o_ref):
+    def kernel(q_ref, p1_ref, p1s_ref, mid_ref, mids_ref, p2_ref, p2s_ref,
+               x_ref, o_ref):
         i = pl.program_id(0)
         q = q_ref[i, 0]
-        qi = qi_ref[i, 0]
         a = x_ref[0]  # [n1, n2]
-        a = _ct_stages_val(a, psi1_ref[0], q, qi, interpret)
-        a = mont_mul(a, twmid_ref[0], q, qi)
+        a = _ct_stages_val(a, p1_ref[0], p1s_ref[0], q, interpret)
+        a = shoup_mul(a, mid_ref[0], mids_ref[0], q)
         a = a.T  # [n2, n1]
-        a = _ct_stages_val(a, psi2_ref[0], q, qi, interpret)
+        a = _ct_stages_val(a, p2_ref[0], p2s_ref[0], q, interpret)
         o_ref[0] = a
 
     return kernel
 
 
 def _make_intt_kernel(interpret: bool):
-    def kernel(q_ref, qi_ref, ipsi1_ref, twmidinv_ref, ipsi2_ref, x_ref, o_ref):
+    def kernel(q_ref, ip1_ref, ip1s_ref, midi_ref, midis_ref, ip2_ref,
+               ip2s_ref, x_ref, o_ref):
         i = pl.program_id(0)
         q = q_ref[i, 0]
-        qi = qi_ref[i, 0]
         a = x_ref[0]  # [n2, n1]
-        a = _gs_stages_val(a, ipsi2_ref[0], q, qi, interpret)
+        a = _gs_stages_val(a, ip2_ref[0], ip2s_ref[0], q, interpret)
         a = a.T  # [n1, n2]
-        a = mont_mul(a, twmidinv_ref[0], q, qi)
-        a = _gs_stages_val(a, ipsi1_ref[0], q, qi, interpret)
+        a = shoup_mul(a, midi_ref[0], midis_ref[0], q)
+        a = _gs_stages_val(a, ip1_ref[0], ip1s_ref[0], q, interpret)
         o_ref[0] = a
 
     return kernel
@@ -123,47 +166,48 @@ _SMEM_FULL = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
-def ntt_pallas(x, q, qinv, psi1_exp, tw_mid, psi2_exp, *, n1, n2, interpret=False):
-    """x: [M, N]; q/qinv: [M]; psi1_exp: [M, n1, log n1];
-    tw_mid: [M, n1, n2]; psi2_exp: [M, n2, log n2]. Returns [M, N]."""
+def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False):
+    """x: [M, N]; q: [M]; pfwd: Shoup table tuple (see NttBasis).
+    Returns [M, N] (native eval order, see params.py)."""
     M, N = x.shape
+    p1, p1s, mid, mids, p2, p2s = pfwd
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
     out = pl.pallas_call(
         _make_ntt_kernel(interpret),
         grid=(M,),
         in_specs=[
-            _SMEM_FULL, _SMEM_FULL,
-            _slab(n1, l1), _slab(n1, n2), _slab(n2, l2), _slab(n1, n2),
+            _SMEM_FULL,
+            _slab(n1, l1), _slab(n1, l1),
+            _slab(n1, n2), _slab(n1, n2),
+            _slab(n2, l2), _slab(n2, l2),
+            _slab(n1, n2),
         ],
         out_specs=_slab(n2, n1),
         out_shape=jax.ShapeDtypeStruct((M, n2, n1), jnp.uint32),
         interpret=interpret,
-    )(
-        q.reshape(M, 1), qinv.reshape(M, 1),
-        psi1_exp, tw_mid, psi2_exp, x.reshape(M, n1, n2),
-    )
+    )(q.reshape(M, 1), p1, p1s, mid, mids, p2, p2s, x.reshape(M, n1, n2))
     return out.reshape(M, N)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
-def intt_pallas(x, q, qinv, ipsi1_exp, tw_mid_inv, ipsi2_exp, *, n1, n2,
-                interpret=False):
+def intt_pallas(x, q, pinv, *, n1, n2, interpret=False):
     M, N = x.shape
+    ip1, ip1s, midi, midis, ip2, ip2s = pinv
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
     out = pl.pallas_call(
         _make_intt_kernel(interpret),
         grid=(M,),
         in_specs=[
-            _SMEM_FULL, _SMEM_FULL,
-            _slab(n1, l1), _slab(n1, n2), _slab(n2, l2), _slab(n2, n1),
+            _SMEM_FULL,
+            _slab(n1, l1), _slab(n1, l1),
+            _slab(n1, n2), _slab(n1, n2),
+            _slab(n2, l2), _slab(n2, l2),
+            _slab(n2, n1),
         ],
         out_specs=_slab(n1, n2),
         out_shape=jax.ShapeDtypeStruct((M, n1, n2), jnp.uint32),
         interpret=interpret,
-    )(
-        q.reshape(M, 1), qinv.reshape(M, 1),
-        ipsi1_exp, tw_mid_inv, ipsi2_exp, x.reshape(M, n2, n1),
-    )
+    )(q.reshape(M, 1), ip1, ip1s, midi, midis, ip2, ip2s, x.reshape(M, n2, n1))
     return out.reshape(M, N)

@@ -1,0 +1,90 @@
+"""Pallas kernels (interpreter mode) vs jnp graph path: bit-identical."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from homulator_tpu.api import CkksEngine
+from homulator_tpu.params import get_params
+
+from .conftest import random_limbs
+
+SCALE = 2.0**29
+
+
+@pytest.fixture(scope="module")
+def engines():
+    params = get_params(n=256, max_level=6, alpha=2)
+    ej = CkksEngine(params, seed=13, ntt_mode="jnp")
+    ep = CkksEngine(params, seed=13, ntt_mode="interpret")
+    ej.keygen()
+    ep.keygen()
+    return ej, ep
+
+
+def test_ntt_kernel_matches(engines):
+    ej, ep = engines
+    p = ej.params
+    rng = np.random.default_rng(0)
+    x = random_limbs(p, np.arange(p.max_level), rng)
+    xd = jnp.asarray(x.astype(np.uint32))
+    yj = np.asarray(ej.ntt(xd, p.max_level))
+    yp = np.asarray(ep.ntt(xd, p.max_level))
+    assert np.array_equal(yj, yp)
+    assert np.array_equal(
+        np.asarray(ej.intt(jnp.asarray(yj), p.max_level)),
+        np.asarray(ep.intt(jnp.asarray(yp), p.max_level)),
+    )
+
+
+def test_bconv_kernel_matches(engines):
+    from homulator_tpu.ops.bconv import bconv_step2
+    from homulator_tpu.ops.bconv_pallas import bconv_step2_pallas
+
+    ej, _ = engines
+    p = ej.params
+    rng = np.random.default_rng(1)
+    nd, m_out = 2, 5
+    xhat = jnp.asarray(random_limbs(p, np.arange(nd), rng).astype(np.uint32))
+    mat_pl = rng.integers(0, 1 << 29, size=(m_out, nd)).astype(np.uint64)
+    qs = p.q_arr[:m_out]
+    mat_mont = jnp.asarray(((mat_pl << np.uint64(32)) % qs[:, None]).astype(np.uint32))
+    mat_sh = jnp.asarray(((mat_pl << np.uint64(32)) // qs[:, None]).astype(np.uint32))
+    q = jnp.asarray(qs.astype(np.uint32))
+    qinv = jnp.asarray(p.qinv_neg[:m_out].astype(np.uint32))
+    ref = np.asarray(bconv_step2(xhat, mat_mont, q, qinv))
+    out = np.asarray(
+        bconv_step2_pallas(xhat, jnp.asarray(mat_pl.astype(np.uint32)),
+                           mat_sh, q, interpret=True)
+    )
+    assert np.array_equal(ref, out)
+
+
+def test_full_hmult_matches(engines):
+    """Whole hmult through Pallas kernels == jnp graph, bit-exact."""
+    ej, ep = engines
+    p = ej.params
+    m = np.zeros(p.n, dtype=np.int64)
+    m[0] = int(7 * SCALE)
+    l = p.max_level
+    c1j = ej.encrypt_ints(m, l, SCALE)
+    c2j = ej.encrypt_ints(m, l, SCALE)
+    c1p = ep.encrypt_ints(m, l, SCALE)
+    c2p = ep.encrypt_ints(m, l, SCALE)
+    assert np.array_equal(np.asarray(c1j.data), np.asarray(c1p.data))
+    oj = ej.hmult(c1j, c2j)
+    op_ = ep.hmult(c1p, c2p)
+    assert np.array_equal(np.asarray(oj.data), np.asarray(op_.data))
+
+
+def test_full_hrotate_matches(engines):
+    ej, ep = engines
+    p = ej.params
+    m = np.zeros(p.n, dtype=np.int64)
+    m[0] = int(3 * SCALE)
+    l = p.max_level
+    c1j = ej.encrypt_ints(m, l, SCALE)
+    c1p = ep.encrypt_ints(m, l, SCALE)
+    oj = ej.hrotate(c1j, 1)
+    op_ = ep.hrotate(c1p, 1)
+    assert np.array_equal(np.asarray(oj.data), np.asarray(op_.data))
