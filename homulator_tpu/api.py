@@ -20,7 +20,7 @@ import numpy as np
 
 from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
-from .ops.keyswitch import keyswitch
+from .ops.keyswitch import inner_product_moddown, keyswitch, modup_all
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
 from .ops.rescale import rescale_poly
@@ -85,6 +85,23 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
     r1 = automorph_eval(a[1], perm)
     e0, e1 = keyswitch(r1, rotk_mont, kt)
     return jnp.stack([modadd(r0, e0, q), e1])
+
+
+@jax.jit
+def _hrotate_hoisted_graph(a, perms, rotks, kt):
+    """Many rotations of one ciphertext sharing a single ModUp
+    (Halevi-Shoup hoisting; bit-identical to per-step hrotate because the
+    automorphism commutes with the RNS digit decomposition)."""
+    main = kt.main_nt
+    q = main.q[:, None]
+    ext_digits = modup_all(a[1], kt)
+    outs = []
+    for perm, rotk in zip(perms, rotks):
+        rot_digits = tuple(automorph_eval(dg, perm) for dg in ext_digits)
+        e0, e1 = inner_product_moddown(rot_digits, rotk, kt)
+        r0 = automorph_eval(a[0], perm)
+        outs.append(jnp.stack([modadd(r0, e0, q), e1]))
+    return jnp.stack(outs)
 
 
 @jax.jit
@@ -217,6 +234,21 @@ class CkksEngine:
         kt = self.dc.keyswitch_tables(a.level)
         out = _hrotate_graph(a.data, perm, self.rot_keys[step], kt)
         return Ciphertext(out, a.level, a.scale)
+
+    def hrotate_hoisted(self, a: Ciphertext, steps) -> list:
+        """Rotate one ciphertext by several steps, sharing one ModUp."""
+        for step in steps:
+            if step not in self.rot_keys:
+                self.gen_rotation_key(step)
+        perms = tuple(
+            self.dc.automorph_perm(self.params.galois_elt(s)) for s in steps
+        )
+        rotks = tuple(self.rot_keys[s] for s in steps)
+        kt = self.dc.keyswitch_tables(a.level)
+        outs = _hrotate_hoisted_graph(a.data, perms, rotks, kt)
+        return [
+            Ciphertext(outs[i], a.level, a.scale) for i in range(len(steps))
+        ]
 
     def keyswitch_poly(self, d: jnp.ndarray, key: jnp.ndarray, level: int):
         kt = self.dc.keyswitch_tables(level)

@@ -83,6 +83,46 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
 
 
+def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
+    """Decompose + ModUp + NTT all digits once: tuple of [level+alpha, N].
+
+    This is the hoistable prefix of a key switch (Halevi-Shoup hoisting):
+    the Galois automorphism commutes with RNS decomposition, so many
+    rotations of one ciphertext can share a single ModUp and only pay the
+    per-rotation inner product + ModDown.
+    """
+    c_coeff = intt(d_eval, kt.main_nt)
+    return tuple(
+        ntt(modup_digit(c_coeff, kt, d), kt.ext_nt)
+        for d in range(len(kt.digits))
+    )
+
+
+def inner_product_moddown(
+    ext_digits,  # tuple of [level+alpha, N] eval-domain lifted digits
+    evk_mont: jnp.ndarray,  # [dnum, 2, K, N]
+    kt: KeySwitchLevelTables,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Digit inner product against evk + ModDown: the per-key tail of a
+    key switch."""
+    level = kt.level
+    alpha = kt.special_nt.q.shape[0]
+    max_level = evk_mont.shape[2] - alpha
+    ext_q = kt.ext_nt.q[:, None]
+    ext_qinv = kt.ext_nt.qinv[:, None]
+    acc0 = None
+    acc1 = None
+    for d, ext_eval in enumerate(ext_digits):
+        evk_d = jnp.concatenate(
+            [evk_mont[d][:, :level], evk_mont[d][:, max_level:]], axis=1
+        )
+        t0 = mont_mul(ext_eval, evk_d[0], ext_q, ext_qinv)
+        t1 = mont_mul(ext_eval, evk_d[1], ext_q, ext_qinv)
+        acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
+        acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
+    return moddown(acc0, kt), moddown(acc1, kt)
+
+
 def keyswitch(
     d_eval: jnp.ndarray,  # [level, N] eval-domain poly to switch
     evk_mont: jnp.ndarray,  # [dnum, 2, K, N] Montgomery-form key digits

@@ -133,3 +133,23 @@ class TestHomomorphic:
         src, neg = p.automorph_coeff_maps(g)
         expected = np.where(neg, -m[src], m[src])
         assert np.max(np.abs(dec - expected)) < 1e6  # keyswitch noise << SCALE
+
+
+def test_hrotate_hoisted_matches_individual(small_engine):
+    """Hoisted multi-rotation decrypts to the same values as per-step
+    hrotate (not bit-identical: applying sigma after the approximate
+    CRT lift changes which Q_d-multiple rides along — same semantics,
+    equivalent noise)."""
+    eng = small_engine
+    p = eng.params
+    l = p.max_level
+    slots = p.n // 2
+    v = np.arange(slots, dtype=np.float64)
+    ct = eng.encrypt_complex(v, l, SCALE)
+    steps = [1, 2, 5]
+    outs = eng.hrotate_hoisted(ct, steps)
+    for step, out in zip(steps, outs):
+        got = eng.decrypt_complex(out)
+        ref = eng.decrypt_complex(eng.hrotate(ct, step))
+        assert np.max(np.abs(got - np.roll(v, -step))) < 1e-2, step
+        assert np.max(np.abs(got - ref)) < 1e-2, step

@@ -74,3 +74,29 @@ def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_coeff_sharded_ntt_matches_single_chip():
+    """4-step NTT with the coefficient axis sharded over 8 devices
+    (inter-transpose as a cross-device reshard) == unsharded, bit-exact."""
+    from homulator_tpu.parallel.coeff_ntt import make_coeff_sharded_ntt
+    from homulator_tpu.ops.ntt import ntt as ntt_graph, intt as intt_graph
+
+    params = get_params(n=1024, max_level=4, alpha=2)
+    eng = CkksEngine(params, seed=6, ntt_mode="jnp")
+    nb = eng.dc.ntt_basis(eng.dc.main_rows(4))
+    n1, n2 = nb.n1, nb.n2
+    mesh = make_mesh(shape=(1, 8), n_devices=8)
+    ntt_fn, intt_fn = make_coeff_sharded_ntt(nb, mesh, axis="limb")
+
+    rng = np.random.default_rng(3)
+    x = np.stack(
+        [rng.integers(0, int(q), size=params.n, dtype=np.uint64)
+         for q in params.q_arr[:4]]
+    ).astype(np.uint32)
+    tile = jnp.asarray(x.reshape(4, n1, n2))
+    sharded = np.asarray(ntt_fn(tile))
+    expected = np.asarray(ntt_graph(jnp.asarray(x), nb)).reshape(4, n2, n1)
+    assert np.array_equal(sharded, expected)
+    back = np.asarray(intt_fn(jnp.asarray(sharded)))
+    assert np.array_equal(back, x.reshape(4, n1, n2))
