@@ -88,6 +88,31 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
 
 
 @jax.jit
+def _hsquare_graph(a, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
+    """Squaring: d0 = c0^2, d1 = 2*c0*c1, d2 = c1^2 (one fewer tensor
+    multiply than hmult), then the same keyswitch + rescale tail."""
+    main = kt.main_nt
+    q, qi, r2 = main.q[:, None], main.qinv[:, None], main.r2[:, None]
+    a0m = to_mont(a[0], r2, q, qi)
+    a1m = to_mont(a[1], r2, q, qi)
+    d0 = mont_mul(a[0], a0m, q, qi)
+    cross = mont_mul(a[1], a0m, q, qi)
+    d1 = modadd(cross, cross, q)
+    d2 = mont_mul(a[1], a1m, q, qi)
+    e0, e1 = keyswitch(d2, evk_mont, kt)
+    c0 = modadd(d0, e0, q)
+    c1 = modadd(d1, e1, q)
+    r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
+    r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
+    return jnp.stack([r0, r1])
+
+
+@jax.jit
+def _const_mul_graph(a, c_mont, q, qinv):
+    return mont_mul(a, c_mont[None, :, None], q[None, :, None], qinv[None, :, None])
+
+
+@jax.jit
 def _hrotate_hoisted_graph(a, perms, rotks, kt):
     """Many rotations of one ciphertext sharing a single ModUp
     (Halevi-Shoup hoisting; bit-identical to per-step hrotate because the
@@ -144,6 +169,8 @@ class CkksEngine:
         self.ref = RefCkks(params, seed)
         self.relin_key: Optional[jnp.ndarray] = None
         self.rot_keys: Dict[int, jnp.ndarray] = {}
+        self._conj_keys: Dict[int, jnp.ndarray] = {}
+        self._const_cache: Dict = {}
 
     # ---- keys ------------------------------------------------------------
     def keygen(self) -> None:
@@ -234,6 +261,68 @@ class CkksEngine:
         kt = self.dc.keyswitch_tables(a.level)
         out = _hrotate_graph(a.data, perm, self.rot_keys[step], kt)
         return Ciphertext(out, a.level, a.scale)
+
+    def hsquare(self, a: Ciphertext) -> Ciphertext:
+        assert self.relin_key is not None, "call keygen() first"
+        l = a.level
+        kt = self.dc.keyswitch_tables(l)
+        last_nt = self.dc.ntt_basis((l - 1,))
+        out_nt = self.dc.ntt_basis(self.dc.main_rows(l - 1))
+        out = _hsquare_graph(
+            a.data, self.relin_key, kt, last_nt, out_nt,
+            self.dc.rescale_qinv_mont(l),
+        )
+        return Ciphertext(out, l - 1, a.scale * a.scale / self.params.qs[l - 1])
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        """Complex conjugation of all slots (Galois element 2N-1)."""
+        g = self.params.galois_conj
+        if g not in self._conj_keys:
+            key = self.ref._gen_galois_key(g)
+            self._conj_keys[g] = self.dc.upload_kskey_mont(key.digits)
+        perm = self.dc.automorph_perm(g)
+        kt = self.dc.keyswitch_tables(a.level)
+        out = _hrotate_graph(a.data, perm, self._conj_keys[g], kt)
+        return Ciphertext(out, a.level, a.scale)
+
+    def cmult(self, a: Ciphertext, value: float, scale_bits: int = None) -> Ciphertext:
+        """Multiply by a public real scalar (no encoding round-trip)."""
+        sb = self.params.scale_bits if scale_bits is None else scale_bits
+        delta = float(1 << sb)
+        c = int(round(value * delta))
+        l = a.level
+        key = ("cmult", c, l)
+        if key not in self._const_cache:
+            qs = self.params.q_arr[:l].astype(np.int64)
+            res = (np.int64(c) % qs).astype(np.uint64)
+            cm = ((res << np.uint64(32)) % qs.astype(np.uint64)).astype(np.uint32)
+            self._const_cache[key] = jnp.asarray(cm)
+        q, qinv, _ = self.dc.q_level(l)
+        out = _const_mul_graph(a.data, self._const_cache[key], q, qinv)
+        return Ciphertext(out, l, a.scale * delta)
+
+    def cadd(self, a: Ciphertext, value: float) -> Ciphertext:
+        """Add a public real scalar (to the constant coefficient)."""
+        c = int(round(value * a.scale))
+        n = self.params.n
+        m = np.zeros(n, dtype=np.int64)
+        m[0] = c
+        pt = self.plaintext_ints(m, a.level, a.scale)
+        return self.padd(a, pt)
+
+    def mod_drop(self, a: Ciphertext, levels: int = 1) -> Ciphertext:
+        """Drop limbs without rescaling (modulus switch by truncation);
+        used to align operand levels."""
+        new_level = a.level - levels
+        assert new_level >= 1
+        return Ciphertext(a.data[:, :new_level], new_level, a.scale)
+
+    def align_levels(self, a: Ciphertext, b: Ciphertext):
+        if a.level == b.level:
+            return a, b
+        if a.level > b.level:
+            return self.mod_drop(a, a.level - b.level), b
+        return a, self.mod_drop(b, b.level - a.level)
 
     def hrotate_hoisted(self, a: Ciphertext, steps) -> list:
         """Rotate one ciphertext by several steps, sharing one ModUp."""

@@ -23,9 +23,10 @@ from .ops.keyswitch import keyswitch
 from .ops.ntt import intt, ntt
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, *, iters: int):
-    """Runs the full hmult body `iters` times; each iteration's output is
+@jax.jit
+def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, iters):
+    """Runs the full hmult body `iters` times (dynamic trip count — ONE
+    compiled program serves every k); each iteration's output is
     re-extended to the input level (pad with the dropped limb of `a`) and
     fed back, forcing sequential device execution."""
     def body(_, carry):
@@ -35,8 +36,8 @@ def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, *, iters: int):
     return jax.lax.fori_loop(0, iters, body, a)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _chained_ntt(x, nb, *, iters: int):
+@jax.jit
+def _chained_ntt(x, nb, iters):
     """iters rounds of iNTT∘NTT (shape-preserving chain)."""
     def body(_, carry):
         return intt(ntt(carry, nb), nb)
@@ -48,15 +49,16 @@ def _force(x) -> None:
     np.asarray(jax.device_get(x.ravel()[:8]))
 
 
-def time_chained(fn: Callable, k1: int, k2: int, *args, **kw) -> float:
-    """Seconds per iteration via difference quotient; warms both variants."""
-    _force(fn(*args, iters=k1, **kw))
-    _force(fn(*args, iters=k2, **kw))
+def time_chained(fn: Callable, k1: int, k2: int, *args) -> float:
+    """Seconds per iteration via difference quotient (dynamic trip counts:
+    both k run the same compiled program)."""
+    _force(fn(*args, k1))
+    _force(fn(*args, k2))
     t1 = time.perf_counter()
-    _force(fn(*args, iters=k1, **kw))
+    _force(fn(*args, k1))
     t1 = time.perf_counter() - t1
     t2 = time.perf_counter()
-    _force(fn(*args, iters=k2, **kw))
+    _force(fn(*args, k2))
     t2 = time.perf_counter() - t2
     return max(t2 - t1, 1e-9) / (k2 - k1)
 

@@ -153,3 +153,44 @@ def test_hrotate_hoisted_matches_individual(small_engine):
         ref = eng.decrypt_complex(eng.hrotate(ct, step))
         assert np.max(np.abs(got - np.roll(v, -step))) < 1e-2, step
         assert np.max(np.abs(got - ref)) < 1e-2, step
+
+
+class TestExtendedOps:
+    def test_hsquare(self, small_engine):
+        eng = small_engine
+        l = eng.params.max_level
+        ct, _ = _enc_pair(eng, 6, 0, l)
+        out = eng.hsquare(ct)
+        dec = eng.decrypt_bigint(out, count=1)
+        assert abs(dec[0] / out.scale - 36) < 0.01
+
+    def test_conjugate(self, small_engine):
+        eng = small_engine
+        p = eng.params
+        slots = p.n // 2
+        rng = np.random.default_rng(21)
+        v = rng.normal(size=slots) + 1j * rng.normal(size=slots)
+        ct = eng.encrypt_complex(v, p.max_level, SCALE)
+        out = eng.decrypt_complex(eng.conjugate(ct))
+        assert np.max(np.abs(out - np.conj(v))) < 1e-2
+
+    def test_cmult_cadd(self, small_engine):
+        eng = small_engine
+        l = eng.params.max_level
+        ct, _ = _enc_pair(eng, 5, 0, l)
+        out = eng.cmult(ct, 2.5)
+        dec = eng.decrypt_bigint(out, count=1)
+        assert abs(dec[0] / out.scale - 12.5) < 0.001
+        out2 = eng.cadd(ct, 1.25)
+        dec2 = eng.decrypt_bigint(out2, count=1)
+        assert abs(dec2[0] / out2.scale - 6.25) < 0.001
+
+    def test_mod_drop_align(self, small_engine):
+        eng = small_engine
+        l = eng.params.max_level
+        ct1, _ = _enc_pair(eng, 7, 0, l)
+        ct2, _ = _enc_pair(eng, 11, 0, l - 2)
+        a, b = eng.align_levels(ct1, ct2)
+        assert a.level == b.level == l - 2
+        dec = eng.decrypt_bigint(eng.hadd(a, b), count=1)
+        assert abs(dec[0] / SCALE - 18) < 0.001
