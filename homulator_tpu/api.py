@@ -26,6 +26,7 @@ from .ops.ntt import intt, ntt
 from .ops.rescale import rescale_poly
 from .params import CkksParams
 from .refimpl import RefCkks, RefPlaintext
+from .stats import Statistic, op_modmul_count
 
 
 # --------------------------------------------------------------------------
@@ -171,6 +172,23 @@ class CkksEngine:
         self.rot_keys: Dict[int, jnp.ndarray] = {}
         self._conj_keys: Dict[int, jnp.ndarray] = {}
         self._const_cache: Dict = {}
+        # Metrics surface mirroring the reference's Statistic counters
+        # (Staistics.h): op counts, modeled modmul work, HBM word traffic.
+        self.stats = Statistic()
+
+    def _count(self, op: str, level: int, components: int = 2) -> None:
+        p = self.params
+        self.stats.increase(f"op/{op}")
+        try:
+            self.stats.increase(
+                "modmul_total",
+                op_modmul_count(op, p.n, level, p.alpha, p.beta(level)),
+            )
+        except ValueError:
+            pass
+        # words in+out of HBM for the ciphertext operands/results (the
+        # reference's MEM_(c) analog, mem.cpp:68-69).
+        self.stats.increase("MEM_words", 3 * components * level * p.n)
 
     # ---- keys ------------------------------------------------------------
     def keygen(self) -> None:
@@ -220,6 +238,7 @@ class CkksEngine:
     # ---- ops -------------------------------------------------------------
     def hadd(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         assert a.level == b.level and a.domain == b.domain == EVAL
+        self._count("hadd", a.level)
         q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_hadd_graph(a.data, b.data, q), a.level, a.scale)
 
@@ -230,12 +249,14 @@ class CkksEngine:
 
     def padd(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         assert a.level == pt.level
+        self._count("padd", a.level)
         q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_padd_graph(a.data, pt.data, q), a.level, a.scale)
 
     def pmult(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         assert a.level == pt.level
         l = a.level
+        self._count("pmult", l)
         q, qinv, r2 = self.dc.q_level(l)
         out = _pmult_graph(a.data, pt.data, q, qinv, r2)
         return Ciphertext(out, l, a.scale * pt.scale)
@@ -244,6 +265,7 @@ class CkksEngine:
         assert self.relin_key is not None, "call keygen() first"
         assert a.level == b.level and a.level >= 2
         l = a.level
+        self._count("hmult", l)
         kt = self.dc.keyswitch_tables(l)
         last_nt = self.dc.ntt_basis((l - 1,))
         out_nt = self.dc.ntt_basis(self.dc.main_rows(l - 1))
@@ -256,6 +278,7 @@ class CkksEngine:
     def hrotate(self, a: Ciphertext, step: int) -> Ciphertext:
         if step not in self.rot_keys:
             self.gen_rotation_key(step)
+        self._count("hrotate", a.level)
         g = self.params.galois_elt(step)
         perm = self.dc.automorph_perm(g)
         kt = self.dc.keyswitch_tables(a.level)
