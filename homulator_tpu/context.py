@@ -109,7 +109,7 @@ class NttBasis:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["step1_mont", "mat_other_mont", "mat_other_pl", "mat_other_sh"],
+    data_fields=["step1_mont", "mat_other_mont", "mat_mxu", "mat_horner_sh"],
     meta_fields=["lo", "hi"],
 )
 @dataclasses.dataclass
@@ -119,16 +119,16 @@ class ModUpDigitTables:
     step1_mont: uint32[nd] — [(Q_d/q_i)^{-1}]_{q_i} for i in the digit.
     mat_other: uint32[K_ext - nd, nd] — [Q_d/q_i]_{p_j} for every ext basis
     row j *outside* the digit (own rows pass residues through unscaled —
-    the reference's Decomp routing, src/Operation.cpp:190-292). Stored as
-    a (Montgomery, plain, Shoup) triple: the jnp path multiplies with the
-    Montgomery form; the Pallas kernel with the (plain, Shoup) pair.
+    the reference's Decomp routing, src/Operation.cpp:190-292). The jnp
+    path multiplies with the Montgomery form; the accelerated path uses
+    the int8 MXU plane tables (ops/bconv_mxu.py).
     lo/hi: digit's row span within the ext basis ordering.
     """
 
     step1_mont: jnp.ndarray
     mat_other_mont: jnp.ndarray
-    mat_other_pl: jnp.ndarray
-    mat_other_sh: jnp.ndarray
+    mat_mxu: jnp.ndarray
+    mat_horner_sh: jnp.ndarray
     lo: int
     hi: int
 
@@ -137,7 +137,7 @@ class ModUpDigitTables:
     jax.tree_util.register_dataclass,
     data_fields=["digits", "main_nt", "ext_nt", "special_nt",
                  "moddown_s1_mont", "moddown_s2_mont",
-                 "moddown_s2_pl", "moddown_s2_sh", "pinv_mont"],
+                 "moddown_mxu", "moddown_horner_sh", "pinv_mont"],
     meta_fields=["level"],
 )
 @dataclasses.dataclass
@@ -148,8 +148,8 @@ class KeySwitchLevelTables:
     special_nt: NttBasis
     moddown_s1_mont: jnp.ndarray  # [alpha]
     moddown_s2_mont: jnp.ndarray  # [level, alpha] (jnp path)
-    moddown_s2_pl: jnp.ndarray  # [level, alpha] (Pallas path, plain)
-    moddown_s2_sh: jnp.ndarray  # [level, alpha] (Pallas path, Shoup)
+    moddown_mxu: jnp.ndarray  # int8 MXU plane table (accelerated path)
+    moddown_horner_sh: jnp.ndarray  # [level] Horner Shoup quotients
     pinv_mont: jnp.ndarray  # [level]
     level: int
 
@@ -306,12 +306,8 @@ class DeviceContext:
         ext = self.ext_rows(level)
         pallas = self.ntt_mode != "jnp"
         empty = jnp.zeros((0,), dtype=jnp.uint32)
-
-        def _sh(w_plain: np.ndarray, qrows: np.ndarray) -> np.ndarray:
-            return (
-                (w_plain.astype(np.uint64) << np.uint64(32))
-                // qrows.astype(np.uint64)
-            ).astype(np.uint32)
+        empty8 = jnp.zeros((0,), dtype=jnp.int8)
+        from .ops.bconv_mxu import build_mxu_tables
 
         digits = []
         for d in range(p.beta(level)):
@@ -323,28 +319,28 @@ class DeviceContext:
             q_col = qn[other_rows, None]
             if pallas:
                 mat_mont = empty
-                pl_ = jnp.asarray(mat_pl.astype(np.uint32))
-                sh_ = jnp.asarray(_sh(mat_pl, q_col))
+                mxu, hsh = build_mxu_tables(mat_pl, qn[other_rows])
+                mxu, hsh = jnp.asarray(mxu), jnp.asarray(hsh)
             else:
                 mat_mont = jnp.asarray(_to_mont_np(mat_pl, q_col))
-                pl_ = sh_ = empty
+                mxu, hsh = empty8, empty
             digits.append(
                 ModUpDigitTables(
                     step1_mont=jnp.asarray(s1),
                     mat_other_mont=mat_mont,
-                    mat_other_pl=pl_,
-                    mat_other_sh=sh_,
+                    mat_mxu=mxu,
+                    mat_horner_sh=hsh,
                     lo=lo, hi=hi,
                 )
             )
         md2_pl = p.ks.moddown_step2[:level]
         if pallas:
             md2_mont = empty
-            md2_p = jnp.asarray(md2_pl.astype(np.uint32))
-            md2_s = jnp.asarray(_sh(md2_pl, qn[:level, None]))
+            md_mxu, md_hsh = build_mxu_tables(md2_pl, qn[:level])
+            md_mxu, md_hsh = jnp.asarray(md_mxu), jnp.asarray(md_hsh)
         else:
             md2_mont = jnp.asarray(self._moddown_s2[:level])
-            md2_p = md2_s = empty
+            md_mxu, md_hsh = empty8, empty
         kt = KeySwitchLevelTables(
             digits=tuple(digits),
             main_nt=self.ntt_basis(self.main_rows(level)),
@@ -352,8 +348,8 @@ class DeviceContext:
             special_nt=self.ntt_basis(self.special_rows()),
             moddown_s1_mont=jnp.asarray(self._moddown_s1),
             moddown_s2_mont=md2_mont,
-            moddown_s2_pl=md2_p,
-            moddown_s2_sh=md2_s,
+            moddown_mxu=md_mxu,
+            moddown_horner_sh=md_hsh,
             pinv_mont=jnp.asarray(self._pinv[:level]),
             level=level,
         )
@@ -393,12 +389,16 @@ class DeviceContext:
     def upload_pt(self, data_u64: np.ndarray, level: int, scale: float) -> Plaintext:
         return Plaintext(jnp.asarray(data_u64.astype(np.uint32)), level, scale, EVAL)
 
-    def upload_kskey_mont(self, digits: List[np.ndarray]) -> jnp.ndarray:
-        """Stack evk digits [dnum, 2, K, N] converted to Montgomery form."""
+    def upload_kskey_mont(self, digits: List[np.ndarray]):
+        """Stack evk digits [dnum, 2, K, N] as a (plain, Shoup) pair — the
+        key inner product multiplies data by these constants, and Shoup
+        multiplication is ~2x faster than Montgomery on the VPU."""
         p = self.params
-        qn = p.q_arr[None, None, :, None]
-        stacked = np.stack(digits)  # [dnum, 2, K, N] uint64
-        return jnp.asarray(_to_mont_np(stacked, qn))
+        qn = p.q_arr[None, None, :, None].astype(np.uint64)
+        stacked = np.stack(digits).astype(np.uint64)  # [dnum, 2, K, N]
+        pl = stacked.astype(np.uint32)
+        sh = ((stacked << np.uint64(32)) // qn).astype(np.uint32)
+        return (jnp.asarray(pl), jnp.asarray(sh))
 
     def download(self, x: jnp.ndarray) -> np.ndarray:
         return np.asarray(jax.device_get(x)).astype(np.uint64)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..context import KeySwitchLevelTables
 from .bconv import bconv_step1, bconv_step2
-from .modmath import modadd, modsub, mont_mul
+from .modmath import modadd, modsub, mont_mul, shoup_mul
 from .ntt import intt, ntt
 
 
@@ -44,11 +44,10 @@ def modup_digit(
         [jnp.arange(0, lo), jnp.arange(hi, ext_q.shape[0])]
     )
     if kt.ext_nt.use_pallas:
-        from .bconv_pallas import bconv_step2_pallas
+        from .bconv_mxu import bconv_step2_mxu
 
-        conv = bconv_step2_pallas(
-            xhat, dt.mat_other_pl, dt.mat_other_sh, ext_q[other_rows],
-            interpret=kt.ext_nt.interpret,
+        conv = bconv_step2_mxu(
+            xhat, dt.mat_mxu, dt.mat_horner_sh, ext_q[other_rows]
         )
     else:
         conv = bconv_step2(
@@ -66,11 +65,10 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     sp_qinv = kt.special_nt.qinv
     bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
     if kt.main_nt.use_pallas:
-        from .bconv_pallas import bconv_step2_pallas
+        from .bconv_mxu import bconv_step2_mxu
 
-        conv = bconv_step2_pallas(
-            bhat, kt.moddown_s2_pl, kt.moddown_s2_sh, kt.main_nt.q,
-            interpret=kt.main_nt.interpret,
+        conv = bconv_step2_mxu(
+            bhat, kt.moddown_mxu, kt.moddown_horner_sh, kt.main_nt.q
         )
     else:
         conv = bconv_step2(
@@ -100,24 +98,28 @@ def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
 
 def inner_product_moddown(
     ext_digits,  # tuple of [level+alpha, N] eval-domain lifted digits
-    evk_mont: jnp.ndarray,  # [dnum, 2, K, N]
+    evk,  # (plain, shoup) pair, each [dnum, 2, K, N]
     kt: KeySwitchLevelTables,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Digit inner product against evk + ModDown: the per-key tail of a
-    key switch."""
+    key switch (the reference's dead HPIP unit, done for real). The evk is
+    a Shoup pair so each term is one shoup_mul."""
+    evk_pl, evk_sh = evk
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
-    max_level = evk_mont.shape[2] - alpha
+    max_level = evk_pl.shape[2] - alpha
     ext_q = kt.ext_nt.q[:, None]
-    ext_qinv = kt.ext_nt.qinv[:, None]
+
+    def rows(arr, d, k):
+        return jnp.concatenate(
+            [arr[d, k, :level], arr[d, k, max_level:]], axis=0
+        )
+
     acc0 = None
     acc1 = None
     for d, ext_eval in enumerate(ext_digits):
-        evk_d = jnp.concatenate(
-            [evk_mont[d][:, :level], evk_mont[d][:, max_level:]], axis=1
-        )
-        t0 = mont_mul(ext_eval, evk_d[0], ext_q, ext_qinv)
-        t1 = mont_mul(ext_eval, evk_d[1], ext_q, ext_qinv)
+        t0 = shoup_mul(ext_eval, rows(evk_pl, d, 0), rows(evk_sh, d, 0), ext_q)
+        t1 = shoup_mul(ext_eval, rows(evk_pl, d, 1), rows(evk_sh, d, 1), ext_q)
         acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
         acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
     return moddown(acc0, kt), moddown(acc1, kt)
@@ -125,28 +127,8 @@ def inner_product_moddown(
 
 def keyswitch(
     d_eval: jnp.ndarray,  # [level, N] eval-domain poly to switch
-    evk_mont: jnp.ndarray,  # [dnum, 2, K, N] Montgomery-form key digits
+    evk,  # (plain, shoup) pair, each [dnum, 2, K, N]
     kt: KeySwitchLevelTables,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (e0, e1), each [level, N] eval, to add to (c0, c1)."""
-    level = kt.level
-    alpha = kt.special_nt.q.shape[0]
-    max_level = evk_mont.shape[2] - alpha
-    c_coeff = intt(d_eval, kt.main_nt)
-    ext_q = kt.ext_nt.q[:, None]
-    ext_qinv = kt.ext_nt.qinv[:, None]
-    K_ext = ext_q.shape[0]
-    acc0 = None
-    acc1 = None
-    for d in range(len(kt.digits)):
-        ext = modup_digit(c_coeff, kt, d)
-        ext_eval = ntt(ext, kt.ext_nt)
-        # evk rows for the ext basis: mains [0:level] ++ specials [L:L+alpha].
-        evk_d = jnp.concatenate(
-            [evk_mont[d][:, :level], evk_mont[d][:, max_level:]], axis=1
-        )  # [2, K_ext, N]
-        t0 = mont_mul(ext_eval, evk_d[0], ext_q, ext_qinv)
-        t1 = mont_mul(ext_eval, evk_d[1], ext_q, ext_qinv)
-        acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
-        acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
-    return moddown(acc0, kt), moddown(acc1, kt)
+    return inner_product_moddown(modup_all(d_eval, kt), evk, kt)

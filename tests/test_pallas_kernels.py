@@ -37,27 +37,35 @@ def test_ntt_kernel_matches(engines):
     )
 
 
-def test_bconv_kernel_matches(engines):
+def test_bconv_kernels_match(engines):
+    """MXU (int8-plane) and Pallas-VPU bconv == Montgomery graph, bit-exact."""
     from homulator_tpu.ops.bconv import bconv_step2
     from homulator_tpu.ops.bconv_pallas import bconv_step2_pallas
+    from homulator_tpu.ops.bconv_mxu import bconv_step2_mxu, build_mxu_tables
 
     ej, _ = engines
     p = ej.params
     rng = np.random.default_rng(1)
     nd, m_out = 2, 5
     xhat = jnp.asarray(random_limbs(p, np.arange(nd), rng).astype(np.uint32))
-    mat_pl = rng.integers(0, 1 << 29, size=(m_out, nd)).astype(np.uint64)
+    # realistic matrix entries: residues mod the OUTPUT primes
     qs = p.q_arr[:m_out]
+    mat_pl = rng.integers(0, 1 << 29, size=(m_out, nd)).astype(np.uint64) % qs[:, None]
     mat_mont = jnp.asarray(((mat_pl << np.uint64(32)) % qs[:, None]).astype(np.uint32))
     mat_sh = jnp.asarray(((mat_pl << np.uint64(32)) // qs[:, None]).astype(np.uint32))
     q = jnp.asarray(qs.astype(np.uint32))
     qinv = jnp.asarray(p.qinv_neg[:m_out].astype(np.uint32))
     ref = np.asarray(bconv_step2(xhat, mat_mont, q, qinv))
-    out = np.asarray(
+    out_vpu = np.asarray(
         bconv_step2_pallas(xhat, jnp.asarray(mat_pl.astype(np.uint32)),
                            mat_sh, q, interpret=True)
     )
-    assert np.array_equal(ref, out)
+    assert np.array_equal(ref, out_vpu)
+    mxu, hsh = build_mxu_tables(mat_pl, qs)
+    out_mxu = np.asarray(
+        bconv_step2_mxu(xhat, jnp.asarray(mxu), jnp.asarray(hsh), q)
+    )
+    assert np.array_equal(ref, out_mxu)
 
 
 def test_full_hmult_matches(engines):
