@@ -109,7 +109,8 @@ class NttBasis:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["step1_mont", "mat_other_mont", "mat_mxu", "mat_horner_sh"],
+    data_fields=["step1_mont", "step1_pl", "step1_sh",
+                 "mat_other_mont", "mat_mxu", "mat_horner_sh"],
     meta_fields=["lo", "hi"],
 )
 @dataclasses.dataclass
@@ -126,6 +127,8 @@ class ModUpDigitTables:
     """
 
     step1_mont: jnp.ndarray
+    step1_pl: jnp.ndarray
+    step1_sh: jnp.ndarray
     mat_other_mont: jnp.ndarray
     mat_mxu: jnp.ndarray
     mat_horner_sh: jnp.ndarray
@@ -136,8 +139,9 @@ class ModUpDigitTables:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["digits", "main_nt", "ext_nt", "special_nt",
-                 "moddown_s1_mont", "moddown_s2_mont",
-                 "moddown_mxu", "moddown_horner_sh", "pinv_mont"],
+                 "moddown_s1_mont", "moddown_s1_pl", "moddown_s1_sh",
+                 "moddown_s2_mont", "moddown_mxu", "moddown_horner_sh",
+                 "pinv_mont", "pinv_pl", "pinv_sh"],
     meta_fields=["level"],
 )
 @dataclasses.dataclass
@@ -147,10 +151,14 @@ class KeySwitchLevelTables:
     ext_nt: NttBasis
     special_nt: NttBasis
     moddown_s1_mont: jnp.ndarray  # [alpha]
+    moddown_s1_pl: jnp.ndarray
+    moddown_s1_sh: jnp.ndarray
     moddown_s2_mont: jnp.ndarray  # [level, alpha] (jnp path)
     moddown_mxu: jnp.ndarray  # int8 MXU plane table (accelerated path)
     moddown_horner_sh: jnp.ndarray  # [level] Horner Shoup quotients
     pinv_mont: jnp.ndarray  # [level]
+    pinv_pl: jnp.ndarray
+    pinv_sh: jnp.ndarray
     level: int
 
 
@@ -309,10 +317,19 @@ class DeviceContext:
         empty8 = jnp.zeros((0,), dtype=jnp.int8)
         from .ops.bconv_mxu import build_mxu_tables
 
+        def _pair(w_plain: np.ndarray, qrows: np.ndarray):
+            w = w_plain.astype(np.uint64)
+            qq = qrows.astype(np.uint64)
+            return (
+                jnp.asarray(w.astype(np.uint32)),
+                jnp.asarray(((w << np.uint64(32)) // qq).astype(np.uint32)),
+            )
+
         digits = []
         for d in range(p.beta(level)):
             lo, hi = p.digit_range(level, d)
             s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
+            s1_pl, s1_sh = _pair(p.ks.modup_step1[(level, d)], qn[lo:hi])
             full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
             other_rows = np.array([j for j in ext if not (lo <= j < hi)])
             mat_pl = full_mat[other_rows]
@@ -327,6 +344,7 @@ class DeviceContext:
             digits.append(
                 ModUpDigitTables(
                     step1_mont=jnp.asarray(s1),
+                    step1_pl=s1_pl, step1_sh=s1_sh,
                     mat_other_mont=mat_mont,
                     mat_mxu=mxu,
                     mat_horner_sh=hsh,
@@ -341,26 +359,35 @@ class DeviceContext:
         else:
             md2_mont = jnp.asarray(self._moddown_s2[:level])
             md_mxu, md_hsh = empty8, empty
+        sp_qn = qn[p.max_level:]
+        md1_pl, md1_sh = _pair(p.ks.moddown_step1, sp_qn)
+        pinv_pl, pinv_sh = _pair(p.ks.pinv_modq[:level], qn[:level])
         kt = KeySwitchLevelTables(
             digits=tuple(digits),
             main_nt=self.ntt_basis(self.main_rows(level)),
             ext_nt=self.ntt_basis(ext),
             special_nt=self.ntt_basis(self.special_rows()),
             moddown_s1_mont=jnp.asarray(self._moddown_s1),
+            moddown_s1_pl=md1_pl, moddown_s1_sh=md1_sh,
             moddown_s2_mont=md2_mont,
             moddown_mxu=md_mxu,
             moddown_horner_sh=md_hsh,
             pinv_mont=jnp.asarray(self._pinv[:level]),
+            pinv_pl=pinv_pl, pinv_sh=pinv_sh,
             level=level,
         )
         self._ks_cache[level] = kt
         return kt
 
-    def rescale_qinv_mont(self, level: int) -> jnp.ndarray:
-        """[level-1] Montgomery [q_{level-1}^{-1}]_{q_i}."""
+    def rescale_qinv_mont(self, level: int):
+        """(mont, plain, shoup) triple of [level-1] [q_{level-1}^{-1}]_{q_i}."""
         if level not in self._rs_cache:
-            self._rs_cache[level] = jnp.asarray(
-                self._rescale_qinv[level - 1, : level - 1]
+            pl = self.params.rescale_qinv[level - 1, : level - 1].astype(np.uint64)
+            qq = self.params.q_arr[: level - 1].astype(np.uint64)
+            self._rs_cache[level] = (
+                jnp.asarray(self._rescale_qinv[level - 1, : level - 1]),
+                jnp.asarray(pl.astype(np.uint32)),
+                jnp.asarray(((pl << np.uint64(32)) // qq).astype(np.uint32)),
             )
         return self._rs_cache[level]
 

@@ -37,7 +37,12 @@ def modup_digit(
     own = c_coeff[lo:hi]  # [nd, N] plain residues
     in_q = kt.main_nt.q[lo:hi]
     in_qinv = kt.main_nt.qinv[lo:hi]
-    xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
+    if kt.ext_nt.use_pallas:
+        xhat = shoup_mul(
+            own, dt.step1_pl[:, None], dt.step1_sh[:, None], in_q[:, None]
+        )
+    else:
+        xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
     ext_q = kt.ext_nt.q
     ext_qinv = kt.ext_nt.qinv
     other_rows = jnp.concatenate(
@@ -63,7 +68,12 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     b = intt(c_ext[level:], kt.special_nt)  # special limbs to coeff
     sp_q = kt.special_nt.q
     sp_qinv = kt.special_nt.qinv
-    bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
+    if kt.main_nt.use_pallas:
+        bhat = shoup_mul(
+            b, kt.moddown_s1_pl[:, None], kt.moddown_s1_sh[:, None], sp_q[:, None]
+        )
+    else:
+        bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
     if kt.main_nt.use_pallas:
         from .bconv_mxu import bconv_step2_mxu
 
@@ -78,6 +88,8 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     mq = kt.main_nt.q[:, None]
     mqi = kt.main_nt.qinv[:, None]
     diff = modsub(c_ext[:level], conv_eval, mq)
+    if kt.main_nt.use_pallas:
+        return shoup_mul(diff, kt.pinv_pl[:, None], kt.pinv_sh[:, None], mq)
     return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..context import NttBasis
-from .modmath import modsub, mont_mul
+from .modmath import modsub, mont_mul, shoup_mul
 from .ntt import intt, ntt
 
 
@@ -27,7 +27,7 @@ def rescale_poly(
     c: jnp.ndarray,  # [level, N] eval domain
     last_nt: NttBasis,  # basis of the dropped limb only (1 row)
     out_nt: NttBasis,  # remaining main basis (level-1 rows)
-    qinv_mont: jnp.ndarray,  # [level-1] Montgomery [q_last^{-1}]_{q_i}
+    qinv_tabs,  # (mont, plain, shoup) triple of [level-1] [q_last^{-1}]_{q_i}
 ) -> jnp.ndarray:
     level = c.shape[0]
     last_coeff = intt(c[level - 1: level], last_nt)  # [1, N] in [0, q_last)
@@ -36,4 +36,7 @@ def rescale_poly(
     red = _reduce_small(jnp.broadcast_to(last_coeff, (level - 1, c.shape[1])), oq)
     red_eval = ntt(red, out_nt)
     diff = modsub(c[: level - 1], red_eval, oq)
-    return mont_mul(diff, qinv_mont[:, None], oq, oqi)
+    mont, pl, sh = qinv_tabs
+    if out_nt.use_pallas:
+        return shoup_mul(diff, pl[:, None], sh[:, None], oq)
+    return mont_mul(diff, mont[:, None], oq, oqi)
