@@ -251,7 +251,11 @@ class DeviceContext:
         return tuple(range(p.max_level, p.num_primes))
 
     def ext_rows(self, level: int) -> Tuple[int, ...]:
-        return self.main_rows(level) + self.special_rows()
+        """Extended basis rows, SPECIALS FIRST: with this ordering the
+        per-level evk row set is the contiguous prefix [0, alpha+level) of
+        the specials-first key layout (upload_kskey_mont), so the inner
+        product slices keys without gather/concat copies."""
+        return self.special_rows() + self.main_rows(level)
 
     # ---- table slicing ---------------------------------------------------
     def ntt_basis(self, rows: Tuple[int, ...]) -> NttBasis:
@@ -331,14 +335,18 @@ class DeviceContext:
             s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
             s1_pl, s1_sh = _pair(p.ks.modup_step1[(level, d)], qn[lo:hi])
             full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
-            other_rows = np.array([j for j in ext if not (lo <= j < hi)])
-            mat_pl = full_mat[other_rows]
-            q_col = qn[other_rows, None]
             if pallas:
+                # Full ext-basis matrix (own rows included: the matmul
+                # reproduces their residues exactly — only the t = j term
+                # survives mod q_j — so no assembly concat is needed).
+                ext_np = np.array(ext)
                 mat_mont = empty
-                mxu, hsh = build_mxu_tables(mat_pl, qn[other_rows])
+                mxu, hsh = build_mxu_tables(full_mat[ext_np], qn[ext_np])
                 mxu, hsh = jnp.asarray(mxu), jnp.asarray(hsh)
             else:
+                other_rows = np.array([j for j in ext if not (lo <= j < hi)])
+                mat_pl = full_mat[other_rows]
+                q_col = qn[other_rows, None]
                 mat_mont = jnp.asarray(_to_mont_np(mat_pl, q_col))
                 mxu, hsh = empty8, empty
             digits.append(
@@ -421,8 +429,11 @@ class DeviceContext:
         key inner product multiplies data by these constants, and Shoup
         multiplication is ~2x faster than Montgomery on the VPU."""
         p = self.params
-        qn = p.q_arr[None, None, :, None].astype(np.uint64)
+        L = p.max_level
         stacked = np.stack(digits).astype(np.uint64)  # [dnum, 2, K, N]
+        # Specials-first row layout (see ext_rows).
+        stacked = np.concatenate([stacked[:, :, L:], stacked[:, :, :L]], axis=2)
+        qn = np.concatenate([p.q_arr[L:], p.q_arr[:L]])[None, None, :, None].astype(np.uint64)
         pl = stacked.astype(np.uint32)
         sh = ((stacked << np.uint64(32)) // qn).astype(np.uint32)
         return (jnp.asarray(pl), jnp.asarray(sh))

@@ -31,41 +31,43 @@ def modup_digit(
     c_coeff: jnp.ndarray, kt: KeySwitchLevelTables, d: int
 ) -> jnp.ndarray:
     """Lift digit d of c (coeff domain, [level, N]) to the ext basis
-    [level+alpha, N]."""
+    [alpha+level, N] (specials-first row order)."""
     dt = kt.digits[d]
     lo, hi = dt.lo, dt.hi
+    alpha = kt.special_nt.q.shape[0]
     own = c_coeff[lo:hi]  # [nd, N] plain residues
     in_q = kt.main_nt.q[lo:hi]
     in_qinv = kt.main_nt.qinv[lo:hi]
-    if kt.ext_nt.use_pallas:
-        xhat = shoup_mul(
-            own, dt.step1_pl[:, None], dt.step1_sh[:, None], in_q[:, None]
-        )
-    else:
-        xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
     ext_q = kt.ext_nt.q
     ext_qinv = kt.ext_nt.qinv
-    other_rows = jnp.concatenate(
-        [jnp.arange(0, lo), jnp.arange(hi, ext_q.shape[0])]
-    )
     if kt.ext_nt.use_pallas:
         from .bconv_mxu import bconv_step2_mxu
 
-        conv = bconv_step2_mxu(
-            xhat, dt.mat_mxu, dt.mat_horner_sh, ext_q[other_rows]
+        xhat = shoup_mul(
+            own, dt.step1_pl[:, None], dt.step1_sh[:, None], in_q[:, None]
         )
-    else:
-        conv = bconv_step2(
-            xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
-        )
-    # Reassemble ext-basis rows: [0:lo) converted | [lo:hi) own | [hi:) converted.
-    return jnp.concatenate([conv[:lo], own, conv[lo:]], axis=0)
+        # Full-matrix conversion: own rows come out exactly (only the t = j
+        # term survives mod q_j), so no reassembly is needed.
+        return bconv_step2_mxu(xhat, dt.mat_mxu, dt.mat_horner_sh, ext_q)
+    xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
+    other_rows = jnp.concatenate(
+        [jnp.arange(0, alpha + lo), jnp.arange(alpha + hi, ext_q.shape[0])]
+    )
+    conv = bconv_step2(
+        xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
+    )
+    # Reassemble: [0 : alpha+lo) converted | own | [alpha+hi :) converted.
+    return jnp.concatenate(
+        [conv[: alpha + lo], own, conv[alpha + lo:]], axis=0
+    )
 
 
 def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
-    """[level+alpha, N] eval over ext basis -> [level, N] eval (divide by P)."""
+    """[alpha+level, N] eval over the (specials-first) ext basis ->
+    [level, N] eval mod Q (divide by P)."""
     level = kt.level
-    b = intt(c_ext[level:], kt.special_nt)  # special limbs to coeff
+    alpha = kt.special_nt.q.shape[0]
+    b = intt(c_ext[:alpha], kt.special_nt)  # special limbs to coeff
     sp_q = kt.special_nt.q
     sp_qinv = kt.special_nt.qinv
     if kt.main_nt.use_pallas:
@@ -87,7 +89,7 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     conv_eval = ntt(conv, kt.main_nt)
     mq = kt.main_nt.q[:, None]
     mqi = kt.main_nt.qinv[:, None]
-    diff = modsub(c_ext[:level], conv_eval, mq)
+    diff = modsub(c_ext[alpha:], conv_eval, mq)
     if kt.main_nt.use_pallas:
         return shoup_mul(diff, kt.pinv_pl[:, None], kt.pinv_sh[:, None], mq)
     return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
@@ -119,19 +121,14 @@ def inner_product_moddown(
     evk_pl, evk_sh = evk
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
-    max_level = evk_pl.shape[2] - alpha
     ext_q = kt.ext_nt.q[:, None]
-
-    def rows(arr, d, k):
-        return jnp.concatenate(
-            [arr[d, k, :level], arr[d, k, max_level:]], axis=0
-        )
+    k_ext = alpha + level  # keys are specials-first: contiguous prefix
 
     acc0 = None
     acc1 = None
     for d, ext_eval in enumerate(ext_digits):
-        t0 = shoup_mul(ext_eval, rows(evk_pl, d, 0), rows(evk_sh, d, 0), ext_q)
-        t1 = shoup_mul(ext_eval, rows(evk_pl, d, 1), rows(evk_sh, d, 1), ext_q)
+        t0 = shoup_mul(ext_eval, evk_pl[d, 0, :k_ext], evk_sh[d, 0, :k_ext], ext_q)
+        t1 = shoup_mul(ext_eval, evk_pl[d, 1, :k_ext], evk_sh[d, 1, :k_ext], ext_q)
         acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
         acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
     return moddown(acc0, kt), moddown(acc1, kt)
