@@ -110,7 +110,7 @@ class NttBasis:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["step1_mont", "step1_pl", "step1_sh",
-                 "mat_other_mont", "mat_mxu", "mat_horner_sh"],
+                 "mat_other_mont", "mat_bf16", "horner_sh", "other_nt"],
     meta_fields=["lo", "hi"],
 )
 @dataclasses.dataclass
@@ -122,7 +122,11 @@ class ModUpDigitTables:
     row j *outside* the digit (own rows pass residues through unscaled —
     the reference's Decomp routing, src/Operation.cpp:190-292). The jnp
     path multiplies with the Montgomery form; the accelerated path uses
-    the int8 MXU plane tables (ops/bconv_mxu.py).
+    the fused bf16-plane MXU kernel (ops/bconv_fused.py) over the other
+    rows only and copies own rows from the eval-domain input (the
+    conversion reproduces own residues exactly, so own rows never need
+    the iNTT->NTT round trip).
+    other_nt: NttBasis over the other rows (accelerated path).
     lo/hi: digit's row span within the ext basis ordering.
     """
 
@@ -130,8 +134,9 @@ class ModUpDigitTables:
     step1_pl: jnp.ndarray
     step1_sh: jnp.ndarray
     mat_other_mont: jnp.ndarray
-    mat_mxu: jnp.ndarray
-    mat_horner_sh: jnp.ndarray
+    mat_bf16: jnp.ndarray
+    horner_sh: jnp.ndarray
+    other_nt: Optional["NttBasis"]
     lo: int
     hi: int
 
@@ -140,7 +145,7 @@ class ModUpDigitTables:
     jax.tree_util.register_dataclass,
     data_fields=["digits", "main_nt", "ext_nt", "special_nt",
                  "moddown_s1_mont", "moddown_s1_pl", "moddown_s1_sh",
-                 "moddown_s2_mont", "moddown_mxu", "moddown_horner_sh",
+                 "moddown_s2_mont", "moddown_bf16", "moddown_horner_sh",
                  "pinv_mont", "pinv_pl", "pinv_sh"],
     meta_fields=["level"],
 )
@@ -154,7 +159,7 @@ class KeySwitchLevelTables:
     moddown_s1_pl: jnp.ndarray
     moddown_s1_sh: jnp.ndarray
     moddown_s2_mont: jnp.ndarray  # [level, alpha] (jnp path)
-    moddown_mxu: jnp.ndarray  # int8 MXU plane table (accelerated path)
+    moddown_bf16: jnp.ndarray  # bf16 plane table (fused MXU kernel path)
     moddown_horner_sh: jnp.ndarray  # [level] Horner Shoup quotients
     pinv_mont: jnp.ndarray  # [level]
     pinv_pl: jnp.ndarray
@@ -318,8 +323,8 @@ class DeviceContext:
         ext = self.ext_rows(level)
         pallas = self.ntt_mode != "jnp"
         empty = jnp.zeros((0,), dtype=jnp.uint32)
-        empty8 = jnp.zeros((0,), dtype=jnp.int8)
-        from .ops.bconv_mxu import build_mxu_tables
+        empty8 = jnp.zeros((0,), dtype=jnp.bfloat16)
+        from .ops.bconv_fused import build_bf16_tables
 
         def _pair(w_plain: np.ndarray, qrows: np.ndarray):
             w = w_plain.astype(np.uint64)
@@ -335,38 +340,41 @@ class DeviceContext:
             s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
             s1_pl, s1_sh = _pair(p.ks.modup_step1[(level, d)], qn[lo:hi])
             full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
+            other_rows = tuple(j for j in ext if not (lo <= j < hi))
             if pallas:
-                # Full ext-basis matrix (own rows included: the matmul
-                # reproduces their residues exactly — only the t = j term
-                # survives mod q_j — so no assembly concat is needed).
-                ext_np = np.array(ext)
+                # Other rows only: own rows pass through in eval domain
+                # (the conversion reproduces their residues exactly — only
+                # the t = j term survives mod q_j), so they skip both the
+                # matmul and the iNTT->NTT round trip.
+                orn = np.array(other_rows)
                 mat_mont = empty
-                mxu, hsh = build_mxu_tables(full_mat[ext_np], qn[ext_np])
-                mxu, hsh = jnp.asarray(mxu), jnp.asarray(hsh)
+                bf16, hsh = build_bf16_tables(full_mat[orn], qn[orn])
+                other_nt = self.ntt_basis(other_rows)
             else:
-                other_rows = np.array([j for j in ext if not (lo <= j < hi)])
-                mat_pl = full_mat[other_rows]
-                q_col = qn[other_rows, None]
+                orn = np.array(other_rows)
+                mat_pl = full_mat[orn]
+                q_col = qn[orn, None]
                 mat_mont = jnp.asarray(_to_mont_np(mat_pl, q_col))
-                mxu, hsh = empty8, empty
+                bf16, hsh = empty8, empty
+                other_nt = None
             digits.append(
                 ModUpDigitTables(
                     step1_mont=jnp.asarray(s1),
                     step1_pl=s1_pl, step1_sh=s1_sh,
                     mat_other_mont=mat_mont,
-                    mat_mxu=mxu,
-                    mat_horner_sh=hsh,
+                    mat_bf16=bf16,
+                    horner_sh=hsh,
+                    other_nt=other_nt,
                     lo=lo, hi=hi,
                 )
             )
         md2_pl = p.ks.moddown_step2[:level]
         if pallas:
             md2_mont = empty
-            md_mxu, md_hsh = build_mxu_tables(md2_pl, qn[:level])
-            md_mxu, md_hsh = jnp.asarray(md_mxu), jnp.asarray(md_hsh)
+            md_bf16, md_hsh = build_bf16_tables(md2_pl, qn[:level])
         else:
             md2_mont = jnp.asarray(self._moddown_s2[:level])
-            md_mxu, md_hsh = empty8, empty
+            md_bf16, md_hsh = empty8, empty
         sp_qn = qn[p.max_level:]
         md1_pl, md1_sh = _pair(p.ks.moddown_step1, sp_qn)
         pinv_pl, pinv_sh = _pair(p.ks.pinv_modq[:level], qn[:level])
@@ -378,7 +386,7 @@ class DeviceContext:
             moddown_s1_mont=jnp.asarray(self._moddown_s1),
             moddown_s1_pl=md1_pl, moddown_s1_sh=md1_sh,
             moddown_s2_mont=md2_mont,
-            moddown_mxu=md_mxu,
+            moddown_bf16=md_bf16,
             moddown_horner_sh=md_hsh,
             pinv_mont=jnp.asarray(self._pinv[:level]),
             pinv_pl=pinv_pl, pinv_sh=pinv_sh,

@@ -1,0 +1,123 @@
+"""Fused Pallas TPU kernel for RNS base conversion (BCONVU, done for real).
+
+One kernel = the whole conversion for one coefficient tile, entirely in
+VMEM (the reference models this as its per-cluster h x w MAC grid fed by
+a scratchpad, include/Components.h:245-295; the HBM round trips between
+step1 / plane-extraction / matmul / recombination that an unfused XLA
+graph pays are exactly the traffic its SPM exists to avoid):
+
+  step1   x_hat[i] = x[i] * s[i] mod q_i            (Shoup, per-row const)
+  planes  x_hat = sum_k X_k 2^(8k), X_k in [0,256)  (4 bf16 planes)
+  matmul  D_i = sum_k M_{k,i} @ X_k                 (ONE bf16 MXU matmul,
+                                                     f32 accumulation —
+                                                     exact: |D| < 2^24)
+  horner  out[r] = sum_i D_i[r] 2^(8i) mod q_r      (3 Shoup muls by 256)
+
+The conversion matrix is pre-folded host-side (build_bf16_tables): input
+radix 2^(8k) is multiplied into M mod q_r, so the output recombination is
+single-radix Horner. Exactness: plane entries < 256 are exact in bf16;
+every partial sum < 4*nd*255^2 < 2^24 is exact in f32 (nd <= 64).
+
+Used for both ModUp digit lifts and ModDown; bit-exact vs the Montgomery
+graph path (tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath import shoup_mul
+
+RADIX_BITS = 8
+RADIX = 1 << RADIX_BITS  # 256
+NPLANES = 4  # ceil(30 / 8): primes < 2^30
+
+
+def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
+    """Host precompute. mat_plain: uint64[m_out, nd] standard-domain
+    conversion matrix; q_rows: uint64[m_out] output primes. Returns
+    (mbig bf16[NPLANES*m_out, NPLANES*nd], horner_sh uint32[m_out]) —
+    the Horner plain multiplicand is always RADIX."""
+    m_out, nd = mat_plain.shape
+    mbig = np.zeros((NPLANES, m_out, NPLANES * nd), dtype=np.float32)
+    q = q_rows.astype(np.uint64)[:, None]
+    for k in range(NPLANES):
+        mk = (mat_plain.astype(np.uint64) << np.uint64(RADIX_BITS * k)) % q
+        for i in range(NPLANES):
+            plane = (mk >> np.uint64(RADIX_BITS * i)) & np.uint64(RADIX - 1)
+            mbig[i, :, k * nd: (k + 1) * nd] = plane.astype(np.float32)
+    horner_sh = (
+        (np.uint64(RADIX) << np.uint64(32)) // q_rows.astype(np.uint64)
+    ).astype(np.uint32)
+    return (
+        jnp.asarray(mbig.reshape(NPLANES * m_out, NPLANES * nd)).astype(
+            jnp.bfloat16
+        ),
+        jnp.asarray(horner_sh),
+    )
+
+
+def _kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
+            o_ref):
+    x = x_ref[:]  # [nd, TN] uint32
+    xhat = shoup_mul(x, spl_ref[:], ssh_ref[:], inq_ref[:])
+    planes = [
+        ((xhat >> (RADIX_BITS * k)) & (RADIX - 1)).astype(jnp.int32).astype(
+            jnp.bfloat16
+        )
+        for k in range(NPLANES)
+    ]
+    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, TN] bf16
+    d = jnp.dot(mat_ref[:], xbig, preferred_element_type=jnp.float32)
+    m_out = o_ref.shape[0]
+    tn = x.shape[1]
+    d = d.astype(jnp.int32).astype(jnp.uint32).reshape(NPLANES, m_out, tn)
+    q = outq_ref[:]
+    hsh = hsh_ref[:]
+    r = d[NPLANES - 1]
+    for i in range(NPLANES - 2, -1, -1):
+        r = shoup_mul(r, RADIX, hsh, q) + d[i]
+    o_ref[:] = jnp.where(r >= q, r - q, r)
+
+
+def _col(v):
+    return pl.BlockSpec(v.shape, lambda j: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
+                interpret=False):
+    """x: uint32[nd, N] residues (coeff domain); s_*: [nd] step1 Shoup pair;
+    in_q: [nd]; mat_bf16/horner_sh: build_bf16_tables output; out_q: [m_out].
+    Returns uint32[m_out, N] = bconv(x * s) with per-row reduction."""
+    nd, n = x.shape
+    m_out = out_q.shape[0]
+    tn = min(n, 2048)
+    grid = (n // tn,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nd, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            _col(s_pl.reshape(nd, 1)),
+            _col(s_sh.reshape(nd, 1)),
+            _col(in_q.reshape(nd, 1)),
+            _col(mat_bf16),
+            _col(horner_sh.reshape(m_out, 1)),
+            _col(out_q.reshape(m_out, 1)),
+        ],
+        out_specs=pl.BlockSpec((m_out, tn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_out, n), jnp.uint32),
+        interpret=interpret,
+    )(
+        x, s_pl.reshape(nd, 1), s_sh.reshape(nd, 1), in_q.reshape(nd, 1),
+        mat_bf16, horner_sh.reshape(m_out, 1), out_q.reshape(m_out, 1),
+    )
+    return out

@@ -31,7 +31,7 @@ def modup_digit(
     c_coeff: jnp.ndarray, kt: KeySwitchLevelTables, d: int
 ) -> jnp.ndarray:
     """Lift digit d of c (coeff domain, [level, N]) to the ext basis
-    [alpha+level, N] (specials-first row order)."""
+    [alpha+level, N] (specials-first row order). jnp graph path."""
     dt = kt.digits[d]
     lo, hi = dt.lo, dt.hi
     alpha = kt.special_nt.q.shape[0]
@@ -40,15 +40,6 @@ def modup_digit(
     in_qinv = kt.main_nt.qinv[lo:hi]
     ext_q = kt.ext_nt.q
     ext_qinv = kt.ext_nt.qinv
-    if kt.ext_nt.use_pallas:
-        from .bconv_mxu import bconv_step2_mxu
-
-        xhat = shoup_mul(
-            own, dt.step1_pl[:, None], dt.step1_sh[:, None], in_q[:, None]
-        )
-        # Full-matrix conversion: own rows come out exactly (only the t = j
-        # term survives mod q_j), so no reassembly is needed.
-        return bconv_step2_mxu(xhat, dt.mat_mxu, dt.mat_horner_sh, ext_q)
     xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
     other_rows = jnp.concatenate(
         [jnp.arange(0, alpha + lo), jnp.arange(alpha + hi, ext_q.shape[0])]
@@ -62,6 +53,40 @@ def modup_digit(
     )
 
 
+def modup_digit_eval(
+    d_eval: jnp.ndarray,  # [level, N] eval-domain input poly
+    c_coeff: jnp.ndarray,  # [level, N] its coeff-domain form
+    kt: KeySwitchLevelTables,
+    d: int,
+) -> jnp.ndarray:
+    """Digit d lifted to the ext basis, EVAL domain [alpha+level, N].
+
+    Accelerated path: the conversion reproduces own-digit residues exactly
+    (only the t = j term of sum_t x_hat[t]*[Q_d/q_t] survives mod q_j), so
+    own rows are copied straight from the eval-domain input — they skip
+    the bconv matmul AND the per-digit NTT. Only the other rows run the
+    fused bconv kernel + NTT (ops/bconv_fused.py).
+    """
+    dt = kt.digits[d]
+    lo, hi = dt.lo, dt.hi
+    alpha = kt.special_nt.q.shape[0]
+    if not kt.ext_nt.use_pallas:
+        return ntt(modup_digit(c_coeff, kt, d), kt.ext_nt)
+    from .bconv_fused import bconv_fused
+
+    own = c_coeff[lo:hi]
+    conv = bconv_fused(
+        own, dt.step1_pl, dt.step1_sh, kt.main_nt.q[lo:hi],
+        dt.mat_bf16, dt.horner_sh, dt.other_nt.q,
+        interpret=kt.ext_nt.interpret,
+    )
+    conv_eval = ntt(conv, dt.other_nt)
+    return jnp.concatenate(
+        [conv_eval[: alpha + lo], d_eval[lo:hi], conv_eval[alpha + lo:]],
+        axis=0,
+    )
+
+
 def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     """[alpha+level, N] eval over the (specials-first) ext basis ->
     [level, N] eval mod Q (divide by P)."""
@@ -71,18 +96,15 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     sp_q = kt.special_nt.q
     sp_qinv = kt.special_nt.qinv
     if kt.main_nt.use_pallas:
-        bhat = shoup_mul(
-            b, kt.moddown_s1_pl[:, None], kt.moddown_s1_sh[:, None], sp_q[:, None]
+        from .bconv_fused import bconv_fused
+
+        conv = bconv_fused(
+            b, kt.moddown_s1_pl, kt.moddown_s1_sh, sp_q,
+            kt.moddown_bf16, kt.moddown_horner_sh, kt.main_nt.q,
+            interpret=kt.main_nt.interpret,
         )
     else:
         bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
-    if kt.main_nt.use_pallas:
-        from .bconv_mxu import bconv_step2_mxu
-
-        conv = bconv_step2_mxu(
-            bhat, kt.moddown_mxu, kt.moddown_horner_sh, kt.main_nt.q
-        )
-    else:
         conv = bconv_step2(
             bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
         )
@@ -105,7 +127,7 @@ def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
     """
     c_coeff = intt(d_eval, kt.main_nt)
     return tuple(
-        ntt(modup_digit(c_coeff, kt, d), kt.ext_nt)
+        modup_digit_eval(d_eval, c_coeff, kt, d)
         for d in range(len(kt.digits))
     )
 

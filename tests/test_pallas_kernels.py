@@ -38,10 +38,12 @@ def test_ntt_kernel_matches(engines):
 
 
 def test_bconv_kernels_match(engines):
-    """MXU (int8-plane) and Pallas-VPU bconv == Montgomery graph, bit-exact."""
+    """Fused MXU (bf16-plane) and Pallas-VPU bconv == Montgomery graph,
+    bit-exact (fused kernel includes step1, so it's fed an identity
+    scaling to isolate the conversion)."""
     from homulator_tpu.ops.bconv import bconv_step2
+    from homulator_tpu.ops.bconv_fused import bconv_fused, build_bf16_tables
     from homulator_tpu.ops.bconv_pallas import bconv_step2_pallas
-    from homulator_tpu.ops.bconv_mxu import bconv_step2_mxu, build_mxu_tables
 
     ej, _ = engines
     p = ej.params
@@ -61,9 +63,15 @@ def test_bconv_kernels_match(engines):
                            mat_sh, q, interpret=True)
     )
     assert np.array_equal(ref, out_vpu)
-    mxu, hsh = build_mxu_tables(mat_pl, qs)
+    bf16, hsh = build_bf16_tables(mat_pl, qs)
+    in_q = p.q_arr[:nd].astype(np.uint64)
+    one_pl = jnp.asarray(np.ones(nd, dtype=np.uint32))
+    one_sh = jnp.asarray(((np.ones(nd, dtype=np.uint64) << np.uint64(32))
+                          // in_q).astype(np.uint32))
     out_mxu = np.asarray(
-        bconv_step2_mxu(xhat, jnp.asarray(mxu), jnp.asarray(hsh), q)
+        bconv_fused(xhat, one_pl, one_sh,
+                    jnp.asarray(in_q.astype(np.uint32)), bf16, hsh, q,
+                    interpret=True)
     )
     assert np.array_equal(ref, out_mxu)
 
