@@ -20,7 +20,10 @@ import numpy as np
 
 from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
-from .ops.keyswitch import inner_product_moddown, keyswitch, modup_all
+from .ops.keyswitch import (
+    inner_product, inner_product_moddown, keyswitch, moddown_rescale,
+    modup_all,
+)
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
 from .ops.rescale import rescale_poly
@@ -55,6 +58,26 @@ def _pmult_graph(a, pt, q, qinv, r2):
     return jnp.stack([mont_mul(a[0], ptm, q2, qi2), mont_mul(a[1], ptm, q2, qi2)])
 
 
+def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
+                            rs_qinv_mont):
+    """KeySwitch(d2) -> relinearize add -> 2x Rescale. On the accelerated
+    path the ModDown + add + Rescale of each component run as ONE fused
+    division by P*q_last (ops/keyswitch.moddown_rescale — bit-identical)."""
+    q = kt.main_nt.q[:, None]
+    ext_digits = modup_all(d2, kt)
+    if kt.tail is not None:
+        acc0, acc1 = inner_product(ext_digits, evk_mont, kt)
+        r0 = moddown_rescale(acc0, d0, kt)
+        r1 = moddown_rescale(acc1, d1, kt)
+        return jnp.stack([r0, r1])
+    e0, e1 = inner_product_moddown(ext_digits, evk_mont, kt)
+    c0 = modadd(d0, e0, q)
+    c1 = modadd(d1, e1, q)
+    r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
+    r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
+    return jnp.stack([r0, r1])
+
+
 def hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     """TensorCompute -> KeySwitch(d2) -> relinearize add -> 2x Rescale
     (mirrors HMULT's program, src/Operation.cpp:913-1112)."""
@@ -65,12 +88,9 @@ def hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     d0 = mont_mul(b[0], a0m, q, qi)
     d1 = modadd(mont_mul(b[1], a0m, q, qi), mont_mul(b[0], a1m, q, qi), q)
     d2 = mont_mul(b[1], a1m, q, qi)
-    e0, e1 = keyswitch(d2, evk_mont, kt)
-    c0 = modadd(d0, e0, q)
-    c1 = modadd(d1, e1, q)
-    r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
-    r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
-    return jnp.stack([r0, r1])
+    return _keyswitch_rescale_tail(
+        d0, d1, d2, evk_mont, kt, last_nt, out_nt, rs_qinv_mont
+    )
 
 
 _hmult_graph = jax.jit(hmult_graph)
@@ -100,12 +120,9 @@ def _hsquare_graph(a, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     cross = mont_mul(a[1], a0m, q, qi)
     d1 = modadd(cross, cross, q)
     d2 = mont_mul(a[1], a1m, q, qi)
-    e0, e1 = keyswitch(d2, evk_mont, kt)
-    c0 = modadd(d0, e0, q)
-    c1 = modadd(d1, e1, q)
-    r0 = rescale_poly(c0, last_nt, out_nt, rs_qinv_mont)
-    r1 = rescale_poly(c1, last_nt, out_nt, rs_qinv_mont)
-    return jnp.stack([r0, r1])
+    return _keyswitch_rescale_tail(
+        d0, d1, d2, evk_mont, kt, last_nt, out_nt, rs_qinv_mont
+    )
 
 
 @jax.jit

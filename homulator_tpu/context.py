@@ -143,10 +143,51 @@ class ModUpDigitTables:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
+    data_fields=["bf16", "horner_sh", "in_q", "one_pl", "one_sh",
+                 "p_pl", "p_sh", "pq_inv_pl", "pq_inv_sh",
+                 "md2_last_pl", "md2_last_sh", "last_nt", "out_nt"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TailTables:
+    """Fused ModDown+Rescale tables (divide by P*q_last in ONE conversion).
+
+    The hmult tail `moddown -> relin add -> rescale` computes
+    (acc + P*d - E) * (P*q_last)^{-1} per limb, where E converts
+    [bhat (alpha specials); w_last (Z mod q_last)] through the combined
+    [level-1, alpha+1] matrix (cols: [P/p_j]_{q_i}, last col [P]_{q_i}).
+    Bit-identical to the sequential pipeline (same flooring path), but
+    saves a full per-component NTT broadcast (~level transforms).
+
+    bf16/horner_sh: fused-kernel tables of that matrix. in_q: [alpha+1]
+    input primes (specials + q_last). one_pl/one_sh: identity step1 pair.
+    p_pl/p_sh: [level] Shoup pair of [P]_{q_i}. pq_inv_*: [level-1] pair
+    of [(P*q_last)^{-1}]_{q_i}. md2_last_*: [alpha] pair of
+    [P/p_j]_{q_last} (the conv row that feeds w_last). last_nt: basis of
+    the dropped limb; out_nt: main basis at level-1.
+    """
+
+    bf16: jnp.ndarray
+    horner_sh: jnp.ndarray
+    in_q: jnp.ndarray
+    one_pl: jnp.ndarray
+    one_sh: jnp.ndarray
+    p_pl: jnp.ndarray
+    p_sh: jnp.ndarray
+    pq_inv_pl: jnp.ndarray
+    pq_inv_sh: jnp.ndarray
+    md2_last_pl: jnp.ndarray
+    md2_last_sh: jnp.ndarray
+    last_nt: "NttBasis"
+    out_nt: "NttBasis"
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
     data_fields=["digits", "main_nt", "ext_nt", "special_nt",
                  "moddown_s1_mont", "moddown_s1_pl", "moddown_s1_sh",
                  "moddown_s2_mont", "moddown_bf16", "moddown_horner_sh",
-                 "pinv_mont", "pinv_pl", "pinv_sh"],
+                 "pinv_mont", "pinv_pl", "pinv_sh", "tail"],
     meta_fields=["level"],
 )
 @dataclasses.dataclass
@@ -164,6 +205,7 @@ class KeySwitchLevelTables:
     pinv_mont: jnp.ndarray  # [level]
     pinv_pl: jnp.ndarray
     pinv_sh: jnp.ndarray
+    tail: Optional[TailTables]  # fused moddown+rescale (accelerated path)
     level: int
 
 
@@ -378,6 +420,41 @@ class DeviceContext:
         sp_qn = qn[p.max_level:]
         md1_pl, md1_sh = _pair(p.ks.moddown_step1, sp_qn)
         pinv_pl, pinv_sh = _pair(p.ks.pinv_modq[:level], qn[:level])
+        tail = None
+        if pallas and level >= 2:
+            lm1 = level - 1
+            q_last = int(qn[lm1])
+            P = p.p_prod
+            alpha = p.alpha
+            p_modq = np.array([P % int(q) for q in qn[:level]], dtype=np.uint64)
+            pq_inv = np.array(
+                [pow((P * q_last) % int(qn[i]), -1, int(qn[i]))
+                 for i in range(lm1)],
+                dtype=np.uint64,
+            )
+            tail_mat = np.concatenate(
+                [md2_pl[:lm1], p_modq[:lm1, None]], axis=1
+            )  # [lm1, alpha+1]: [P/p_j]_{q_i} cols + [P]_{q_i}
+            t_bf16, t_hsh = build_bf16_tables(tail_mat, qn[:lm1])
+            in_q = np.concatenate(
+                [sp_qn, np.array([q_last], dtype=np.uint64)]
+            )
+            one_pl, one_sh = _pair(np.ones(alpha + 1, dtype=np.uint64), in_q)
+            md2l_pl, md2l_sh = _pair(
+                md2_pl[lm1], np.full(alpha, q_last, dtype=np.uint64)
+            )
+            tp_pl, tp_sh = _pair(p_modq, qn[:level])
+            tpq_pl, tpq_sh = _pair(pq_inv, qn[:lm1])
+            tail = TailTables(
+                bf16=t_bf16, horner_sh=t_hsh,
+                in_q=jnp.asarray(in_q.astype(np.uint32)),
+                one_pl=one_pl, one_sh=one_sh,
+                p_pl=tp_pl, p_sh=tp_sh,
+                pq_inv_pl=tpq_pl, pq_inv_sh=tpq_sh,
+                md2_last_pl=md2l_pl, md2_last_sh=md2l_sh,
+                last_nt=self.ntt_basis((lm1,)),
+                out_nt=self.ntt_basis(self.main_rows(lm1)),
+            )
         kt = KeySwitchLevelTables(
             digits=tuple(digits),
             main_nt=self.ntt_basis(self.main_rows(level)),
@@ -390,6 +467,7 @@ class DeviceContext:
             moddown_horner_sh=md_hsh,
             pinv_mont=jnp.asarray(self._pinv[:level]),
             pinv_pl=pinv_pl, pinv_sh=pinv_sh,
+            tail=tail,
             level=level,
         )
         self._ks_cache[level] = kt

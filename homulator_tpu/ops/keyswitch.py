@@ -117,6 +117,70 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
 
 
+def moddown_rescale(
+    c_ext: jnp.ndarray,  # [alpha+level, N] eval, specials-first ext basis
+    d: jnp.ndarray,  # [level, N] eval: the relinearization addend (d0 or d1)
+    kt: KeySwitchLevelTables,
+) -> jnp.ndarray:
+    """Fused ModDown + relin add + Rescale: (acc/P + d) rescaled by q_last,
+    i.e. divide acc + P*d by P*q_last in ONE base conversion.
+
+    Bit-identical to moddown -> modadd -> rescale_poly (the intermediate
+    Z = floor-div(acc, P) + d and its w = Z mod q_last are the same
+    integers either way), but pays one [level-1]-row NTT broadcast instead
+    of two ([level] for ModDowNTT + [level-1] for Rescale's re-NTT) and
+    one fused conversion instead of two. Mirrors the reference's
+    ModDown{...} (src/Operation.cpp:417-590) + Rescale (741-911) phases.
+    """
+    tt = kt.tail
+    level = kt.level
+    alpha = kt.special_nt.q.shape[0]
+    sp_q = kt.special_nt.q[:, None]
+    mq = kt.main_nt.q[:, None]
+    b = intt(c_ext[:alpha], kt.special_nt)  # specials to coeff
+    bhat = shoup_mul(
+        b, kt.moddown_s1_pl[:, None], kt.moddown_s1_sh[:, None], sp_q
+    )
+    # conv row for q_last (coeff domain): sum_j bhat_j * [P/p_j]_{q_last}.
+    q_last = mq[level - 1]
+    conv_last = shoup_mul(bhat[0], tt.md2_last_pl[0], tt.md2_last_sh[0], q_last)
+    for j in range(1, alpha):
+        term = shoup_mul(bhat[j], tt.md2_last_pl[j], tt.md2_last_sh[j], q_last)
+        conv_last = modadd(conv_last, term, q_last)
+    # w = Z mod q_last where Z = floor-div(acc, P) + d:
+    # (acc_last + P*d_last - conv_last) * P^{-1} mod q_last, in coeff domain.
+    zl_eval = modadd(
+        c_ext[alpha + level - 1],
+        shoup_mul(d[level - 1], tt.p_pl[level - 1], tt.p_sh[level - 1], q_last),
+        q_last,
+    )
+    zl_coeff = intt(zl_eval[None], tt.last_nt)[0]
+    w = shoup_mul(
+        modsub(zl_coeff, conv_last, q_last),
+        kt.pinv_pl[level - 1], kt.pinv_sh[level - 1], q_last,
+    )
+    # Combined correction E_i = conv_P,i + P*w mod q_i via ONE conversion.
+    from .bconv_fused import bconv_fused
+
+    conv = bconv_fused(
+        jnp.concatenate([bhat, w[None]], axis=0),
+        tt.one_pl, tt.one_sh, tt.in_q,
+        tt.bf16, tt.horner_sh, tt.out_nt.q,
+        interpret=kt.main_nt.interpret,
+    )
+    e = ntt(conv, tt.out_nt)
+    oq = tt.out_nt.q[:, None]
+    lo = level - 1
+    z = modadd(
+        c_ext[alpha: alpha + lo],
+        shoup_mul(d[:lo], tt.p_pl[:lo, None], tt.p_sh[:lo, None], oq),
+        oq,
+    )
+    return shoup_mul(
+        modsub(z, e, oq), tt.pq_inv_pl[:, None], tt.pq_inv_sh[:, None], oq
+    )
+
+
 def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
     """Decompose + ModUp + NTT all digits once: tuple of [level+alpha, N].
 
@@ -132,14 +196,14 @@ def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
     )
 
 
-def inner_product_moddown(
+def inner_product(
     ext_digits,  # tuple of [level+alpha, N] eval-domain lifted digits
     evk,  # (plain, shoup) pair, each [dnum, 2, K, N]
     kt: KeySwitchLevelTables,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Digit inner product against evk + ModDown: the per-key tail of a
-    key switch (the reference's dead HPIP unit, done for real). The evk is
-    a Shoup pair so each term is one shoup_mul."""
+    """Digit inner product against evk (the reference's dead HPIP unit,
+    done for real): acc_k = sum_d digit_d * evk[d][k] over the ext basis.
+    The evk is a Shoup pair so each term is one shoup_mul."""
     evk_pl, evk_sh = evk
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
@@ -153,6 +217,14 @@ def inner_product_moddown(
         t1 = shoup_mul(ext_eval, evk_pl[d, 1, :k_ext], evk_sh[d, 1, :k_ext], ext_q)
         acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
         acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
+    return acc0, acc1
+
+
+def inner_product_moddown(
+    ext_digits, evk, kt: KeySwitchLevelTables
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inner product + ModDown: the per-key tail of a key switch."""
+    acc0, acc1 = inner_product(ext_digits, evk, kt)
     return moddown(acc0, kt), moddown(acc1, kt)
 
 

@@ -102,6 +102,15 @@ def shoup_mul(a: jnp.ndarray, w: jnp.ndarray, w_shoup: jnp.ndarray, q) -> jnp.nd
     return jnp.where(r >= q, r - q, r)
 
 
+def shoup_mul_lazy(a: jnp.ndarray, w: jnp.ndarray, w_shoup: jnp.ndarray, q) -> jnp.ndarray:
+    """Shoup product WITHOUT the final conditional subtract: result in
+    [0, 2q) for any a < 2^32. Harvey-style lazy butterflies keep values in
+    [0, 4q) between stages (valid for q < 2^30) and reduce once at kernel
+    exit — saving the per-butterfly compare/selects."""
+    hi = mulhi32(a, w_shoup)
+    return mullo32(a, w) - mullo32(hi, q)
+
+
 def modadd(a: jnp.ndarray, b: jnp.ndarray, q) -> jnp.ndarray:
     s = a + b  # both < 2**30: no wrap
     return jnp.where(s >= q, s - q, s)

@@ -57,13 +57,20 @@ def chain_intt_main(x, nt, iters):
 
 @jax.jit
 def chain_modup_bconv(x, kt, iters):
-    alpha = kt.special_nt.q.shape[0]
+    """Fused bconv kernels only (no NTTs): [35,N] -> [35,N]."""
+    from homulator_tpu.ops.bconv_fused import bconv_fused
+    L = x.shape[0]
 
     def body(_, carry):
         acc = None
         for d in range(len(kt.digits)):
-            ext = modup_digit(carry, kt, d)[alpha:]
-            acc = ext if acc is None else modadd(acc, ext, kt.main_nt.q[:, None])
+            dt = kt.digits[d]
+            conv = bconv_fused(
+                carry[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
+                kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
+                dt.other_nt.q,
+            )[-L:]
+            acc = conv if acc is None else modadd(acc, conv, kt.main_nt.q[:, None])
         return acc
 
     return jax.lax.fori_loop(0, iters, body, x)
@@ -99,6 +106,39 @@ def chain_moddown(x, kt, iters):
     def body(_, carry):
         low = moddown(carry, kt)
         return jnp.concatenate([carry[: x.shape[0] - low.shape[0]], low])
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+@jax.jit
+def chain_tail(x, d, kt, iters):
+    """Fused moddown+rescale: [50,N],[35,N] -> re-padded [50,N]."""
+    from homulator_tpu.ops.keyswitch import moddown_rescale
+
+    def body(_, carry):
+        low = moddown_rescale(carry, d, kt)  # [34, N]
+        return jnp.concatenate([carry[: x.shape[0] - low.shape[0]], low])
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+@jax.jit
+def chain_ntt_m(x, nt, iters):
+    def body(_, carry):
+        return intt(ntt(carry, nt), nt)
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+@jax.jit
+def chain_ksw_tail(x, evk, kt, iters):
+    """Full keyswitch incl. fused tails: [35,N] -> [35,N] (pad w/ last)."""
+    from homulator_tpu.ops.keyswitch import inner_product, moddown_rescale
+
+    def body(_, carry):
+        digs = modup_all(carry, kt)
+        acc0, acc1 = inner_product(digs, evk, kt)
+        r0 = moddown_rescale(acc0, carry, kt)
+        r1 = moddown_rescale(acc1, carry, kt)
+        out = modadd(r0, r1, kt.main_nt.q[: r0.shape[0], None])
+        return jnp.concatenate([out, carry[-1:]], axis=0)
     return jax.lax.fori_loop(0, iters, body, x)
 
 
@@ -145,10 +185,19 @@ def main():
 
     rows = []
 
-    def run(name, fn, *args, k1=2, k2=6):
-        t = time_chained(fn, k1, k2, *args)
+    def run(name, fn, *args, k1=4, k2=20, reps=3):
+        # Scale iterations so device time dominates transport noise (~2ms):
+        # first a cheap estimate, then k2 sized for >=100ms of device time.
+        t0 = time_chained(fn, k1, k2, *args)
+        if t0 * (k2 - k1) < 0.1:
+            k2b = k1 + max(int(0.1 / max(t0, 1e-6)), k2 - k1)
+            k2b = min(k2b, 400)
+        else:
+            k2b = k2
+        ts = sorted(time_chained(fn, k1, k2b, *args) for _ in range(reps))
+        t = ts[0]
         rows.append((name, t * 1e3))
-        print(f"{name:28s} {t * 1e3:8.3f} ms")
+        print(f"{name:28s} {t * 1e3:8.3f} ms   (k2={k2b})")
 
     run("hmult (full)", chain_hmult, a, a, evk, kt, last_nt, out_nt, rs)
     run("tensor EWE", chain_tensor, a, kt.main_nt)
@@ -157,8 +206,13 @@ def main():
     run("ntt+intt ext(50) x1", chain_ntt_ext, x50, kt)
     run("inner product (3d x 2k)", chain_ip, x50, evk, kt)
     run("moddown (x1)", chain_moddown, x50, kt)
+    run("tail fused md+rs (x1)", chain_tail, x50, x35, kt)
     run("rescale (x1)", chain_rescale, x35, last_nt, out_nt, rs)
     run("modup_all (full)", chain_modup_all, x35, kt)
+    for m in (1, 8, 35):
+        nt_m = dc.ntt_basis(tuple(range(m)))
+        run(f"ntt+intt M={m}", chain_ntt_m, a[0][:m], nt_m)
+    run("keyswitch+2tails", chain_ksw_tail, x35, evk, kt)
 
     d = dict(rows)
     est = (d["tensor EWE"] + d["modup_all (full)"]
