@@ -21,8 +21,8 @@ import numpy as np
 from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
 from .ops.keyswitch import (
-    inner_product, inner_product_moddown, keyswitch, moddown_rescale,
-    modup_all,
+    inner_product_moddown, inner_product_pieces, keyswitch,
+    moddown_rescale, modup_all, modup_conv_all,
 )
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
@@ -64,12 +64,13 @@ def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
     path the ModDown + add + Rescale of each component run as ONE fused
     division by P*q_last (ops/keyswitch.moddown_rescale — bit-identical)."""
     q = kt.main_nt.q[:, None]
-    ext_digits = modup_all(d2, kt)
     if kt.tail is not None:
-        acc0, acc1 = inner_product(ext_digits, evk_mont, kt)
+        convs = modup_conv_all(d2, kt)
+        acc0, acc1 = inner_product_pieces(convs, d2, evk_mont, kt)
         r0 = moddown_rescale(acc0, d0, kt)
         r1 = moddown_rescale(acc1, d1, kt)
         return jnp.stack([r0, r1])
+    ext_digits = modup_all(d2, kt)
     e0, e1 = inner_product_moddown(ext_digits, evk_mont, kt)
     c0 = modadd(d0, e0, q)
     c1 = modadd(d1, e1, q)

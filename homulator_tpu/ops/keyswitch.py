@@ -117,8 +117,71 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
 
 
+def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
+    """Accelerated-path ModUp WITHOUT digit assembly: per digit, only the
+    converted OTHER rows ([m_other, N] eval, ext order minus own rows).
+    Own rows are d_eval itself (exact passthrough); the inner product
+    consumes the pieces directly (inner_product_pieces), so no [K_ext, N]
+    concat is ever materialized."""
+    c_coeff = intt(d_eval, kt.main_nt)
+    from .bconv_fused import bconv_fused
+
+    convs = []
+    for dt in kt.digits:
+        conv = bconv_fused(
+            c_coeff[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
+            kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
+            dt.other_nt.q, interpret=kt.ext_nt.interpret,
+        )
+        convs.append(ntt(conv, dt.other_nt))
+    return tuple(convs)
+
+
+def inner_product_pieces(
+    convs,  # tuple of [m_other, N] eval converted rows, one per digit
+    d_eval: jnp.ndarray,  # [level, N] eval input poly (own rows of each digit)
+    evk,  # (plain, shoup) pair, each [dnum, 2, K, N], specials-first
+    kt: KeySwitchLevelTables,
+):
+    """Digit inner product over piecewise ModUp output. Returns per key k
+    a pair (acc_sp [alpha, N], acc_main [level, N]) — the ext-basis
+    accumulator split at the specials boundary, never concatenated."""
+    evk_pl, evk_sh = evk
+    alpha = kt.special_nt.q.shape[0]
+    sp_q = kt.special_nt.q[:, None]
+    segs = [(dt.lo, dt.hi) for dt in kt.digits]
+    out = []
+    for k in (0, 1):
+        sp = None
+        for d, conv in enumerate(convs):
+            t = shoup_mul(
+                conv[:alpha], evk_pl[d, k, :alpha], evk_sh[d, k, :alpha], sp_q
+            )
+            sp = t if sp is None else modadd(sp, t, sp_q)
+        mains = []
+        for j, (lo, hi) in enumerate(segs):
+            qseg = kt.main_nt.q[lo:hi, None]
+            kk = slice(alpha + lo, alpha + hi)
+            cur = shoup_mul(
+                d_eval[lo:hi], evk_pl[j, k, kk], evk_sh[j, k, kk], qseg
+            )
+            for d, conv in enumerate(convs):
+                if d == j:
+                    continue
+                nd_d = segs[d][1] - segs[d][0]
+                off = alpha + lo - (nd_d if d < j else 0)
+                t = shoup_mul(
+                    conv[off: off + hi - lo],
+                    evk_pl[d, k, kk], evk_sh[d, k, kk], qseg,
+                )
+                cur = modadd(cur, t, qseg)
+            mains.append(cur)
+        out.append((sp, jnp.concatenate(mains, axis=0)))
+    return out
+
+
 def moddown_rescale(
-    c_ext: jnp.ndarray,  # [alpha+level, N] eval, specials-first ext basis
+    acc,  # (acc_sp [alpha, N], acc_main [level, N]) eval-domain pair
     d: jnp.ndarray,  # [level, N] eval: the relinearization addend (d0 or d1)
     kt: KeySwitchLevelTables,
 ) -> jnp.ndarray:
@@ -132,12 +195,13 @@ def moddown_rescale(
     one fused conversion instead of two. Mirrors the reference's
     ModDown{...} (src/Operation.cpp:417-590) + Rescale (741-911) phases.
     """
+    acc_sp, acc_main = acc
     tt = kt.tail
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
     sp_q = kt.special_nt.q[:, None]
     mq = kt.main_nt.q[:, None]
-    b = intt(c_ext[:alpha], kt.special_nt)  # specials to coeff
+    b = intt(acc_sp, kt.special_nt)  # specials to coeff
     bhat = shoup_mul(
         b, kt.moddown_s1_pl[:, None], kt.moddown_s1_sh[:, None], sp_q
     )
@@ -150,7 +214,7 @@ def moddown_rescale(
     # w = Z mod q_last where Z = floor-div(acc, P) + d:
     # (acc_last + P*d_last - conv_last) * P^{-1} mod q_last, in coeff domain.
     zl_eval = modadd(
-        c_ext[alpha + level - 1],
+        acc_main[level - 1],
         shoup_mul(d[level - 1], tt.p_pl[level - 1], tt.p_sh[level - 1], q_last),
         q_last,
     )
@@ -172,7 +236,7 @@ def moddown_rescale(
     oq = tt.out_nt.q[:, None]
     lo = level - 1
     z = modadd(
-        c_ext[alpha: alpha + lo],
+        acc_main[:lo],
         shoup_mul(d[:lo], tt.p_pl[:lo, None], tt.p_sh[:lo, None], oq),
         oq,
     )

@@ -114,8 +114,10 @@ def chain_tail(x, d, kt, iters):
     """Fused moddown+rescale: [50,N],[35,N] -> re-padded [50,N]."""
     from homulator_tpu.ops.keyswitch import moddown_rescale
 
+    alpha = kt.special_nt.q.shape[0]
+
     def body(_, carry):
-        low = moddown_rescale(carry, d, kt)  # [34, N]
+        low = moddown_rescale((carry[:alpha], carry[alpha:]), d, kt)  # [34, N]
         return jnp.concatenate([carry[: x.shape[0] - low.shape[0]], low])
     return jax.lax.fori_loop(0, iters, body, x)
 
@@ -130,11 +132,13 @@ def chain_ntt_m(x, nt, iters):
 @jax.jit
 def chain_ksw_tail(x, evk, kt, iters):
     """Full keyswitch incl. fused tails: [35,N] -> [35,N] (pad w/ last)."""
-    from homulator_tpu.ops.keyswitch import inner_product, moddown_rescale
+    from homulator_tpu.ops.keyswitch import (
+        inner_product_pieces, moddown_rescale, modup_conv_all,
+    )
 
     def body(_, carry):
-        digs = modup_all(carry, kt)
-        acc0, acc1 = inner_product(digs, evk, kt)
+        convs = modup_conv_all(carry, kt)
+        acc0, acc1 = inner_product_pieces(convs, carry, evk, kt)
         r0 = moddown_rescale(acc0, carry, kt)
         r1 = moddown_rescale(acc1, carry, kt)
         out = modadd(r0, r1, kt.main_nt.q[: r0.shape[0], None])
