@@ -56,10 +56,7 @@ def main() -> int:
 
     hmult_ms = 1e3 * benchlib.hmult_seconds(eng, ct1, ct2)
 
-    import jax.numpy as jnp
-
-    x = jnp.asarray(np.asarray(eng.dc.download(ct1.data))[0].astype(np.uint32))
-    ntt_pair_s = benchlib.ntt_pair_seconds(eng, x, level)
+    ntt_pair_s = benchlib.ntt_pair_seconds(eng, ct1.data[0], level)
     ntt_limb_per_s = 2 * level / ntt_pair_s  # NTT + iNTT both count
 
     cpu_ms = None

@@ -37,23 +37,23 @@ from .stats import Statistic, op_modmul_count
 # --------------------------------------------------------------------------
 @jax.jit
 def _hadd_graph(a, b, q):
-    return modadd(a, b, q[None, :, None])
+    return modadd(a, b, q[None, :, None, None])
 
 
 @jax.jit
 def _hsub_graph(a, b, q):
-    return modsub(a, b, q[None, :, None])
+    return modsub(a, b, q[None, :, None, None])
 
 
 @jax.jit
 def _padd_graph(a, pt, q):
-    c0 = modadd(a[0], pt, q[:, None])
+    c0 = modadd(a[0], pt, q[:, None, None])
     return jnp.stack([c0, a[1]])
 
 
 @jax.jit
 def _pmult_graph(a, pt, q, qinv, r2):
-    q2, qi2, r22 = q[:, None], qinv[:, None], r2[:, None]
+    q2, qi2, r22 = q[:, None, None], qinv[:, None, None], r2[:, None, None]
     ptm = to_mont(pt, r22, q2, qi2)
     return jnp.stack([mont_mul(a[0], ptm, q2, qi2), mont_mul(a[1], ptm, q2, qi2)])
 
@@ -63,7 +63,7 @@ def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
     """KeySwitch(d2) -> relinearize add -> 2x Rescale. On the accelerated
     path the ModDown + add + Rescale of each component run as ONE fused
     division by P*q_last (ops/keyswitch.moddown_rescale — bit-identical)."""
-    q = kt.main_nt.q[:, None]
+    q = kt.main_nt.q[:, None, None]
     if kt.tail is not None:
         convs = modup_conv_all(d2, kt)
         acc0, acc1 = inner_product_pieces(convs, d2, evk_mont, kt)
@@ -83,7 +83,7 @@ def hmult_graph(a, b, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     """TensorCompute -> KeySwitch(d2) -> relinearize add -> 2x Rescale
     (mirrors HMULT's program, src/Operation.cpp:913-1112)."""
     main = kt.main_nt
-    q, qi, r2 = main.q[:, None], main.qinv[:, None], main.r2[:, None]
+    q, qi, r2 = main.q[:, None, None], main.qinv[:, None, None], main.r2[:, None, None]
     a0m = to_mont(a[0], r2, q, qi)
     a1m = to_mont(a[1], r2, q, qi)
     d0 = mont_mul(b[0], a0m, q, qi)
@@ -102,7 +102,7 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
     """AUTO(c0), AUTO(c1) -> KeySwitch(sigma(c1)) -> add
     (mirrors HROTATE, src/Operation.cpp:1271-1451)."""
     main = kt.main_nt
-    q = main.q[:, None]
+    q = main.q[:, None, None]
     r0 = automorph_eval(a[0], perm)
     r1 = automorph_eval(a[1], perm)
     e0, e1 = keyswitch(r1, rotk_mont, kt)
@@ -114,7 +114,7 @@ def _hsquare_graph(a, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
     """Squaring: d0 = c0^2, d1 = 2*c0*c1, d2 = c1^2 (one fewer tensor
     multiply than hmult), then the same keyswitch + rescale tail."""
     main = kt.main_nt
-    q, qi, r2 = main.q[:, None], main.qinv[:, None], main.r2[:, None]
+    q, qi, r2 = main.q[:, None, None], main.qinv[:, None, None], main.r2[:, None, None]
     a0m = to_mont(a[0], r2, q, qi)
     a1m = to_mont(a[1], r2, q, qi)
     d0 = mont_mul(a[0], a0m, q, qi)
@@ -128,7 +128,8 @@ def _hsquare_graph(a, evk_mont, kt, last_nt, out_nt, rs_qinv_mont):
 
 @jax.jit
 def _const_mul_graph(a, c_mont, q, qinv):
-    return mont_mul(a, c_mont[None, :, None], q[None, :, None], qinv[None, :, None])
+    return mont_mul(a, c_mont[None, :, None, None], q[None, :, None, None],
+                    qinv[None, :, None, None])
 
 
 @jax.jit
@@ -137,7 +138,7 @@ def _hrotate_hoisted_graph(a, perms, rotks, kt):
     (Halevi-Shoup hoisting; bit-identical to per-step hrotate because the
     automorphism commutes with the RNS digit decomposition)."""
     main = kt.main_nt
-    q = main.q[:, None]
+    q = main.q[:, None, None]
     ext_digits = modup_all(a[1], kt)
     outs = []
     for perm, rotk in zip(perms, rotks):
@@ -392,7 +393,21 @@ class CkksEngine:
         return Ciphertext(out, l - 1, a.scale / self.params.qs[l - 1])
 
     def ntt(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
-        return _ntt_graph(x, self.dc.ntt_basis(self.dc.main_rows(level)))
+        """x: [M, N] flat coeff order -> [M, N] flat eval order (host-view
+        utility; on-device graphs keep the 3-D tile layouts throughout)."""
+        t = self.params.ntt
+        M = x.shape[0]
+        y = _ntt_graph(
+            x.reshape(M, t.n1, t.n2),
+            self.dc.ntt_basis(self.dc.main_rows(level)),
+        )
+        return y.reshape(M, self.params.n)
 
     def intt(self, x: jnp.ndarray, level: int) -> jnp.ndarray:
-        return _intt_graph(x, self.dc.ntt_basis(self.dc.main_rows(level)))
+        t = self.params.ntt
+        M = x.shape[0]
+        y = _intt_graph(
+            x.reshape(M, t.n2, t.n1),
+            self.dc.ntt_basis(self.dc.main_rows(level)),
+        )
+        return y.reshape(M, self.params.n)

@@ -38,9 +38,9 @@ def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, iters):
 
 @jax.jit
 def _chained_ntt(x, nb, iters):
-    """iters rounds of iNTT∘NTT (shape-preserving chain)."""
+    """iters rounds of NTT∘iNTT over eval-domain tiles [M, n2, n1]."""
     def body(_, carry):
-        return intt(ntt(carry, nb), nb)
+        return ntt(intt(carry, nb), nb)
 
     return jax.lax.fori_loop(0, iters, body, x)
 
@@ -49,21 +49,26 @@ def _force(x) -> None:
     np.asarray(jax.device_get(x.ravel()[:8]))
 
 
-def time_chained(fn: Callable, k1: int, k2: int, *args) -> float:
+def time_chained(fn: Callable, k1: int, k2: int, *args, reps: int = 3) -> float:
     """Seconds per iteration via difference quotient (dynamic trip counts:
-    both k run the same compiled program)."""
+    both k run the same compiled program). Takes the MIN over `reps`
+    repeats — the transport adds multi-ms noise spikes, and min is the
+    right estimator for additive noise."""
     _force(fn(*args, k1))
     _force(fn(*args, k2))
-    t1 = time.perf_counter()
-    _force(fn(*args, k1))
-    t1 = time.perf_counter() - t1
-    t2 = time.perf_counter()
-    _force(fn(*args, k2))
-    t2 = time.perf_counter() - t2
-    return max(t2 - t1, 1e-9) / (k2 - k1)
+    best = float("inf")
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        _force(fn(*args, k1))
+        t1 = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        _force(fn(*args, k2))
+        t2 = time.perf_counter() - t2
+        best = min(best, max(t2 - t1, 1e-9) / (k2 - k1))
+    return best
 
 
-def hmult_seconds(eng, ct1, ct2, k1: int = 2, k2: int = 6) -> float:
+def hmult_seconds(eng, ct1, ct2, k1: int = 4, k2: int = 28) -> float:
     dc = eng.dc
     level = ct1.level
     kt = dc.keyswitch_tables(level)
@@ -76,7 +81,8 @@ def hmult_seconds(eng, ct1, ct2, k1: int = 2, k2: int = 6) -> float:
     )
 
 
-def ntt_pair_seconds(eng, x, level: int, k1: int = 4, k2: int = 12) -> float:
-    """Seconds per (NTT + iNTT) over `level` limbs."""
+def ntt_pair_seconds(eng, x, level: int, k1: int = 4, k2: int = 150) -> float:
+    """Seconds per (NTT + iNTT) over `level` limbs. x: eval tiles
+    [level, n2, n1]."""
     nb = eng.dc.ntt_basis(eng.dc.main_rows(level))
     return time_chained(_chained_ntt, k1, k2, x, nb)

@@ -40,7 +40,11 @@ def _to_mont_np(x: np.ndarray, q: np.ndarray) -> np.ndarray:
 )
 @dataclasses.dataclass
 class Ciphertext:
-    """data: uint32[2, level, N], eval domain, standard-domain residues."""
+    """data: uint32[2, level, n2, n1] eval-domain tiles (standard-domain
+    residues). Device polynomials are 3-D [limb, rows, cols] everywhere —
+    eval = [n2, n1], coeff = [n1, n2] (the 4-step NTT's natural layouts) —
+    so kernel boundaries never pay an XLA tiled-layout relayout; the flat
+    [N] order exists only host-side."""
 
     data: jnp.ndarray
     level: int
@@ -48,7 +52,7 @@ class Ciphertext:
     domain: str = EVAL
 
     def __post_init__(self):
-        assert self.data.ndim == 3 and self.data.shape[0] == 2
+        assert self.data.ndim == 4 and self.data.shape[0] == 2
         assert self.data.shape[1] == self.level, (self.data.shape, self.level)
 
 
@@ -59,7 +63,7 @@ class Ciphertext:
 )
 @dataclasses.dataclass
 class Plaintext:
-    """data: uint32[level, N], eval domain, standard-domain residues."""
+    """data: uint32[level, n2, n1] eval-domain tiles (see Ciphertext)."""
 
     data: jnp.ndarray
     level: int
@@ -502,13 +506,22 @@ class DeviceContext:
         return self._perm_cache[g]
 
     # ---- host <-> device conversion -------------------------------------
+    def _eval_tiles(self, flat: np.ndarray) -> np.ndarray:
+        """Host flat eval order [..., N] -> device eval tiles [..., n2, n1]."""
+        t = self.params.ntt
+        return flat.reshape(flat.shape[:-1] + (t.n2, t.n1))
+
     def upload_ct(self, data_u64: np.ndarray, level: int, scale: float) -> Ciphertext:
         return Ciphertext(
-            jnp.asarray(data_u64.astype(np.uint32)), level, scale, EVAL
+            jnp.asarray(self._eval_tiles(data_u64.astype(np.uint32))),
+            level, scale, EVAL,
         )
 
     def upload_pt(self, data_u64: np.ndarray, level: int, scale: float) -> Plaintext:
-        return Plaintext(jnp.asarray(data_u64.astype(np.uint32)), level, scale, EVAL)
+        return Plaintext(
+            jnp.asarray(self._eval_tiles(data_u64.astype(np.uint32))),
+            level, scale, EVAL,
+        )
 
     def upload_kskey_mont(self, digits: List[np.ndarray]):
         """Stack evk digits [dnum, 2, K, N] as a (plain, Shoup) pair — the
@@ -520,9 +533,11 @@ class DeviceContext:
         # Specials-first row layout (see ext_rows).
         stacked = np.concatenate([stacked[:, :, L:], stacked[:, :, :L]], axis=2)
         qn = np.concatenate([p.q_arr[L:], p.q_arr[:L]])[None, None, :, None].astype(np.uint64)
-        pl = stacked.astype(np.uint32)
-        sh = ((stacked << np.uint64(32)) // qn).astype(np.uint32)
+        pl = self._eval_tiles(stacked.astype(np.uint32))
+        sh = self._eval_tiles(((stacked << np.uint64(32)) // qn).astype(np.uint32))
         return (jnp.asarray(pl), jnp.asarray(sh))
 
     def download(self, x: jnp.ndarray) -> np.ndarray:
-        return np.asarray(jax.device_get(x)).astype(np.uint64)
+        """Device tiles [..., R, C] -> host flat [..., N] uint64."""
+        h = np.asarray(jax.device_get(x)).astype(np.uint64)
+        return h.reshape(h.shape[:-2] + (h.shape[-2] * h.shape[-1],))

@@ -14,5 +14,9 @@ import jax.numpy as jnp
 
 
 def automorph_eval(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
-    """x: [..., N] eval-domain limbs; perm: int32[N] gather indices."""
-    return jnp.take(x, perm, axis=-1)
+    """x: [..., n2, n1] eval-domain tiles; perm: int32[N] gather indices
+    over the flat eval order (the gather works on the flattened slot
+    axis; device data is 3-D elsewhere, see ops/ntt.py)."""
+    r, c = x.shape[-2:]
+    flat = x.reshape(x.shape[:-2] + (r * c,))
+    return jnp.take(flat, perm, axis=-1).reshape(x.shape)

@@ -19,24 +19,32 @@ import jax.numpy as jnp
 from .modmath import modadd, mont_mul
 
 
+def _bcol(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Reshape a [K] constant vector for broadcast against [K, ...] data."""
+    return v.reshape(v.shape + (1,) * (ndim - 1))
+
+
 def bconv_step1(x: jnp.ndarray, s1_mont: jnp.ndarray, in_q, in_qinv) -> jnp.ndarray:
-    """Scale input limbs by the inverse punctured products: x_i * (Q/q_i)^{-1}."""
-    return mont_mul(x, s1_mont[:, None], in_q[:, None], in_qinv[:, None])
+    """Scale input limbs by the inverse punctured products: x_i * (Q/q_i)^{-1}.
+    x: [nd, ...] (trailing dims are coefficient tiles)."""
+    nd = x.ndim
+    return mont_mul(x, _bcol(s1_mont, nd), _bcol(in_q, nd), _bcol(in_qinv, nd))
 
 
 def bconv_step2(
-    xhat: jnp.ndarray,  # [nd, N] scaled residues (treated as lifted integers)
+    xhat: jnp.ndarray,  # [nd, ...] scaled residues (treated as lifted integers)
     mat_mont: jnp.ndarray,  # [Mout, nd] Montgomery-form punctured products
     out_q: jnp.ndarray,  # [Mout]
     out_qinv: jnp.ndarray,
 ) -> jnp.ndarray:
-    """out[j] = sum_i xhat[i] * mat[j, i] mod out_q[j]  -> [Mout, N].
-    (jnp graph path; the Pallas kernel lives in bconv_pallas.py.)"""
+    """out[j] = sum_i xhat[i] * mat[j, i] mod out_q[j]  -> [Mout, ...].
+    (jnp graph path; the fused Pallas kernel lives in bconv_fused.py.)"""
     nd = xhat.shape[0]
-    oq = out_q[:, None]
-    oqi = out_qinv[:, None]
-    acc = mont_mul(xhat[0][None, :], mat_mont[:, 0][:, None], oq, oqi)
+    rank = xhat.ndim
+    oq = _bcol(out_q, rank)
+    oqi = _bcol(out_qinv, rank)
+    acc = mont_mul(xhat[0][None], _bcol(mat_mont[:, 0], rank), oq, oqi)
     for t in range(1, nd):
-        term = mont_mul(xhat[t][None, :], mat_mont[:, t][:, None], oq, oqi)
+        term = mont_mul(xhat[t][None], _bcol(mat_mont[:, t], rank), oq, oqi)
         acc = modadd(acc, term, oq)
     return acc

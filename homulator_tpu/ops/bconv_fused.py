@@ -63,48 +63,66 @@ def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
     )
 
 
-def _kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
-            o_ref):
-    x = x_ref[:]  # [nd, TN] uint32
-    xhat = shoup_mul(x, spl_ref[:], ssh_ref[:], inq_ref[:])
+def _convert_tile(x, spl, ssh, inq, mat, hsh, q):
+    """One 2-D tile [nd, C] -> [m_out, C]: step1, planes, matmul, Horner."""
+    xhat = shoup_mul(x, spl, ssh, inq)
     planes = [
         ((xhat >> (RADIX_BITS * k)) & (RADIX - 1)).astype(jnp.int32).astype(
             jnp.bfloat16
         )
         for k in range(NPLANES)
     ]
-    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, TN] bf16
-    d = jnp.dot(mat_ref[:], xbig, preferred_element_type=jnp.float32)
-    m_out = o_ref.shape[0]
-    tn = x.shape[1]
-    d = d.astype(jnp.int32).astype(jnp.uint32).reshape(NPLANES, m_out, tn)
-    q = outq_ref[:]
-    hsh = hsh_ref[:]
+    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, C] bf16
+    d = jnp.dot(mat, xbig, preferred_element_type=jnp.float32)
+    m_out = q.shape[0]
+    d = d.astype(jnp.int32).astype(jnp.uint32).reshape(
+        NPLANES, m_out, x.shape[1]
+    )
     r = d[NPLANES - 1]
     for i in range(NPLANES - 2, -1, -1):
         r = shoup_mul(r, RADIX, hsh, q) + d[i]
-    o_ref[:] = jnp.where(r >= q, r - q, r)
+    return jnp.where(r >= q, r - q, r)
+
+
+def _make_kernel(bn: int):
+    def kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
+               o_ref):
+        spl, ssh, inq = spl_ref[:], ssh_ref[:], inq_ref[:]
+        mat, hsh, q = mat_ref[:], hsh_ref[:], outq_ref[:]
+        for k in range(bn):
+            o_ref[:, k, :] = _convert_tile(
+                x_ref[:, k, :], spl, ssh, inq, mat, hsh, q
+            )
+
+    return kernel
 
 
 def _col(v):
-    return pl.BlockSpec(v.shape, lambda j: (0, 0), memory_space=pltpu.VMEM)
+    nd = v.ndim
+    return pl.BlockSpec(v.shape, lambda j: (0,) * nd, memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
                 interpret=False):
-    """x: uint32[nd, N] residues (coeff domain); s_*: [nd] step1 Shoup pair;
+    """x: uint32[nd, R, C] coeff-domain tiles; s_*: [nd] step1 Shoup pair;
     in_q: [nd]; mat_bf16/horner_sh: build_bf16_tables output; out_q: [m_out].
-    Returns uint32[m_out, N] = bconv(x * s) with per-row reduction."""
-    nd, n = x.shape
+    Returns uint32[m_out, R, C] = bconv(x * s) with per-row reduction.
+    The grid tiles the R axis; each grid step converts `bn` row-slices."""
+    nd, R, C = x.shape
     m_out = out_q.shape[0]
-    tn = min(n, 2048)
-    grid = (n // tn,)
+    bn = 1
+    for cand in (16, 8, 4, 2, 1):
+        if R % cand == 0:
+            bn = cand
+            break
+    grid = (R // bn,)
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(bn),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nd, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, bn, C), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
             _col(s_pl.reshape(nd, 1)),
             _col(s_sh.reshape(nd, 1)),
             _col(in_q.reshape(nd, 1)),
@@ -112,9 +130,9 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
             _col(horner_sh.reshape(m_out, 1)),
             _col(out_q.reshape(m_out, 1)),
         ],
-        out_specs=pl.BlockSpec((m_out, tn), lambda j: (0, j),
+        out_specs=pl.BlockSpec((m_out, bn, C), lambda j: (0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_out, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((m_out, R, C), jnp.uint32),
         interpret=interpret,
     )(
         x, s_pl.reshape(nd, 1), s_sh.reshape(nd, 1), in_q.reshape(nd, 1),

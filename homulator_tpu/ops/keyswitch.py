@@ -109,12 +109,12 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
             bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
         )
     conv_eval = ntt(conv, kt.main_nt)
-    mq = kt.main_nt.q[:, None]
-    mqi = kt.main_nt.qinv[:, None]
+    mq = kt.main_nt.q[:, None, None]
+    mqi = kt.main_nt.qinv[:, None, None]
     diff = modsub(c_ext[alpha:], conv_eval, mq)
     if kt.main_nt.use_pallas:
-        return shoup_mul(diff, kt.pinv_pl[:, None], kt.pinv_sh[:, None], mq)
-    return mont_mul(diff, kt.pinv_mont[:, None], mq, mqi)
+        return shoup_mul(diff, kt.pinv_pl[:, None, None], kt.pinv_sh[:, None, None], mq)
+    return mont_mul(diff, kt.pinv_mont[:, None, None], mq, mqi)
 
 
 def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
@@ -148,7 +148,7 @@ def inner_product_pieces(
     accumulator split at the specials boundary, never concatenated."""
     evk_pl, evk_sh = evk
     alpha = kt.special_nt.q.shape[0]
-    sp_q = kt.special_nt.q[:, None]
+    sp_q = kt.special_nt.q[:, None, None]
     segs = [(dt.lo, dt.hi) for dt in kt.digits]
     out = []
     for k in (0, 1):
@@ -160,7 +160,7 @@ def inner_product_pieces(
             sp = t if sp is None else modadd(sp, t, sp_q)
         mains = []
         for j, (lo, hi) in enumerate(segs):
-            qseg = kt.main_nt.q[lo:hi, None]
+            qseg = kt.main_nt.q[lo:hi, None, None]
             kk = slice(alpha + lo, alpha + hi)
             cur = shoup_mul(
                 d_eval[lo:hi], evk_pl[j, k, kk], evk_sh[j, k, kk], qseg
@@ -199,14 +199,13 @@ def moddown_rescale(
     tt = kt.tail
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
-    sp_q = kt.special_nt.q[:, None]
-    mq = kt.main_nt.q[:, None]
+    sp_q = kt.special_nt.q[:, None, None]
     b = intt(acc_sp, kt.special_nt)  # specials to coeff
     bhat = shoup_mul(
-        b, kt.moddown_s1_pl[:, None], kt.moddown_s1_sh[:, None], sp_q
+        b, kt.moddown_s1_pl[:, None, None], kt.moddown_s1_sh[:, None, None], sp_q
     )
     # conv row for q_last (coeff domain): sum_j bhat_j * [P/p_j]_{q_last}.
-    q_last = mq[level - 1]
+    q_last = kt.main_nt.q[level - 1]
     conv_last = shoup_mul(bhat[0], tt.md2_last_pl[0], tt.md2_last_sh[0], q_last)
     for j in range(1, alpha):
         term = shoup_mul(bhat[j], tt.md2_last_pl[j], tt.md2_last_sh[j], q_last)
@@ -233,15 +232,15 @@ def moddown_rescale(
         interpret=kt.main_nt.interpret,
     )
     e = ntt(conv, tt.out_nt)
-    oq = tt.out_nt.q[:, None]
+    oq = tt.out_nt.q[:, None, None]
     lo = level - 1
     z = modadd(
         acc_main[:lo],
-        shoup_mul(d[:lo], tt.p_pl[:lo, None], tt.p_sh[:lo, None], oq),
+        shoup_mul(d[:lo], tt.p_pl[:lo, None, None], tt.p_sh[:lo, None, None], oq),
         oq,
     )
     return shoup_mul(
-        modsub(z, e, oq), tt.pq_inv_pl[:, None], tt.pq_inv_sh[:, None], oq
+        modsub(z, e, oq), tt.pq_inv_pl[:, None, None], tt.pq_inv_sh[:, None, None], oq
     )
 
 
@@ -271,7 +270,7 @@ def inner_product(
     evk_pl, evk_sh = evk
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
-    ext_q = kt.ext_nt.q[:, None]
+    ext_q = kt.ext_nt.q[:, None, None]
     k_ext = alpha + level  # keys are specials-first: contiguous prefix
 
     acc0 = None

@@ -64,38 +64,38 @@ def _gs_stages(x: jnp.ndarray, tws: Tuple[jnp.ndarray, ...], q, qinv) -> jnp.nda
 
 
 def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    """x: [M, n1, n2] coeff tiles -> [M, n2, n1] eval tiles. Device arrays
+    are 3-D everywhere (coeff = [n1, n2], eval = [n2, n1]); the flat
+    order is only materialized at host boundaries."""
     if nb.use_pallas:
         from .ntt_pallas import ntt_pallas
 
         return ntt_pallas(
             x, nb.q, nb.pfwd, n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
         )
-    M, N = x.shape
-    n1, n2 = nb.n1, nb.n2
+    M = x.shape[0]
     q3 = nb.q.reshape(M, 1, 1)
     qi3 = nb.qinv.reshape(M, 1, 1)
-    y = x.reshape(M, n1, n2)
-    y = _ct_stages(y, nb.stage1, nb.q, nb.qinv)
+    y = _ct_stages(x, nb.stage1, nb.q, nb.qinv)
     y = mont_mul(y, nb.tw_mid, q3, qi3)
     y = y.transpose(0, 2, 1)
     y = _ct_stages(y, nb.stage2, nb.q, nb.qinv)
-    return y.reshape(M, N)
+    return y
 
 
 def intt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""
     if nb.use_pallas:
         from .ntt_pallas import intt_pallas
 
         return intt_pallas(
             x, nb.q, nb.pinv, n1=nb.n1, n2=nb.n2, interpret=nb.interpret,
         )
-    M, N = x.shape
-    n1, n2 = nb.n1, nb.n2
+    M = x.shape[0]
     q3 = nb.q.reshape(M, 1, 1)
     qi3 = nb.qinv.reshape(M, 1, 1)
-    y = x.reshape(M, n2, n1)
-    y = _gs_stages(y, nb.istage2, nb.q, nb.qinv)
+    y = _gs_stages(x, nb.istage2, nb.q, nb.qinv)
     y = y.transpose(0, 2, 1)
     y = mont_mul(y, nb.tw_mid_inv, q3, qi3)
     y = _gs_stages(y, nb.istage1, nb.q, nb.qinv)
-    return y.reshape(M, N)
+    return y

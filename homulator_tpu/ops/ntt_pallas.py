@@ -183,13 +183,15 @@ _SMEM_FULL = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
 def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False):
-    """x: [M, N]; q: [M]; pfwd: Shoup table tuple (see NttBasis).
-    Returns [M, N] (native eval order, see params.py)."""
-    M, N = x.shape
+    """x: [M, n1, n2] coeff tiles; q: [M]; pfwd: Shoup table tuple (see
+    NttBasis). Returns [M, n2, n1] eval tiles (the 4-step's natural output
+    layout — kept 3-D everywhere on device so kernel boundaries never pay
+    an XLA tiled-layout relayout)."""
+    M = x.shape[0]
     p1, p1s, mid, mids, p2, p2s = pfwd
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _make_ntt_kernel(interpret),
         grid=(M,),
         in_specs=[
@@ -202,17 +204,17 @@ def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False):
         out_specs=_slab(n2, n1),
         out_shape=jax.ShapeDtypeStruct((M, n2, n1), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(M, 1), p1, p1s, mid, mids, p2, p2s, x.reshape(M, n1, n2))
-    return out.reshape(M, N)
+    )(q.reshape(M, 1), p1, p1s, mid, mids, p2, p2s, x)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
 def intt_pallas(x, q, pinv, *, n1, n2, interpret=False):
-    M, N = x.shape
+    """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""
+    M = x.shape[0]
     ip1, ip1s, midi, midis, ip2, ip2s = pinv
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _make_intt_kernel(interpret),
         grid=(M,),
         in_specs=[
@@ -225,5 +227,4 @@ def intt_pallas(x, q, pinv, *, n1, n2, interpret=False):
         out_specs=_slab(n1, n2),
         out_shape=jax.ShapeDtypeStruct((M, n1, n2), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(M, 1), ip1, ip1s, midi, midis, ip2, ip2s, x.reshape(M, n2, n1))
-    return out.reshape(M, N)
+    )(q.reshape(M, 1), ip1, ip1s, midi, midis, ip2, ip2s, x)

@@ -24,19 +24,21 @@ def _reduce_small(v: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def rescale_poly(
-    c: jnp.ndarray,  # [level, N] eval domain
+    c: jnp.ndarray,  # [level, R, C] eval-domain tiles
     last_nt: NttBasis,  # basis of the dropped limb only (1 row)
     out_nt: NttBasis,  # remaining main basis (level-1 rows)
     qinv_tabs,  # (mont, plain, shoup) triple of [level-1] [q_last^{-1}]_{q_i}
 ) -> jnp.ndarray:
     level = c.shape[0]
-    last_coeff = intt(c[level - 1: level], last_nt)  # [1, N] in [0, q_last)
-    oq = out_nt.q[:, None]
-    oqi = out_nt.qinv[:, None]
-    red = _reduce_small(jnp.broadcast_to(last_coeff, (level - 1, c.shape[1])), oq)
+    last_coeff = intt(c[level - 1: level], last_nt)  # [1, n1, n2], [0, q_last)
+    oq = out_nt.q[:, None, None]
+    oqi = out_nt.qinv[:, None, None]
+    red = _reduce_small(
+        jnp.broadcast_to(last_coeff, (level - 1,) + last_coeff.shape[1:]), oq
+    )
     red_eval = ntt(red, out_nt)
     diff = modsub(c[: level - 1], red_eval, oq)
     mont, pl, sh = qinv_tabs
     if out_nt.use_pallas:
-        return shoup_mul(diff, pl[:, None], sh[:, None], oq)
-    return mont_mul(diff, mont[:, None], oq, oqi)
+        return shoup_mul(diff, pl[:, None, None], sh[:, None, None], oq)
+    return mont_mul(diff, mont[:, None, None], oq, oqi)

@@ -52,8 +52,8 @@ def batched_hmult_fn(dc: DeviceContext, level: int):
 def make_sharded_hmult(dc: DeviceContext, level: int, mesh: Mesh):
     """jit-compiled batched hmult with ('data', 'limb') input shardings."""
     f = batched_hmult_fn(dc, level)
-    ct_shard = NamedSharding(mesh, P("data", None, "limb", None))
-    evk_shard = NamedSharding(mesh, P(None, None, "limb", None))
+    ct_shard = NamedSharding(mesh, P("data", None, "limb", None, None))
+    evk_shard = NamedSharding(mesh, P(None, None, "limb", None, None))
     # Output sharding is left to the partitioner: the rescaled level-1 limb
     # count need not divide the 'limb' axis.
     return jax.jit(f, in_shardings=(ct_shard, ct_shard, evk_shard))

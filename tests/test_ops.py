@@ -19,8 +19,14 @@ def _enc_pair(eng, v1, v2, level):
     return eng.encrypt_ints(m1, level, SCALE), eng.encrypt_ints(m2, level, SCALE)
 
 
+def _flat(dev_data) -> np.ndarray:
+    """Device tiles [..., R, C] -> host flat [..., N] uint64."""
+    h = np.asarray(dev_data).astype(np.uint64)
+    return h.reshape(h.shape[:-2] + (h.shape[-2] * h.shape[-1],))
+
+
 def _mirror(ct):
-    return RefCiphertext(np.asarray(ct.data).astype(np.uint64), ct.level, ct.scale)
+    return RefCiphertext(_flat(ct.data), ct.level, ct.scale)
 
 
 @pytest.mark.parametrize("fixture", ["small_engine", "medium_engine"])
@@ -31,7 +37,7 @@ class TestBitExact:
         ct1, ct2 = _enc_pair(eng, 3, 4, l)
         out = eng.hadd(ct1, ct2)
         ref_out = eng.ref.hadd(_mirror(ct1), _mirror(ct2))
-        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+        assert np.array_equal(_flat(out.data), ref_out.data)
 
     def test_pmult_padd(self, fixture, request):
         eng = request.getfixturevalue(fixture)
@@ -40,13 +46,13 @@ class TestBitExact:
         coeffs = np.zeros(eng.params.n, dtype=np.int64)
         coeffs[:4] = [5, -1, 2, 7]
         pt = eng.plaintext_ints(coeffs, l, 1.0)
-        rpt = RefPlaintext(np.asarray(pt.data).astype(np.uint64), l, 1.0)
+        rpt = RefPlaintext(_flat(pt.data), l, 1.0)
         assert np.array_equal(
-            np.asarray(eng.pmult(ct1, pt).data).astype(np.uint64),
+            _flat(eng.pmult(ct1, pt).data),
             eng.ref.pmult(_mirror(ct1), rpt).data,
         )
         assert np.array_equal(
-            np.asarray(eng.padd(ct1, pt).data).astype(np.uint64),
+            _flat(eng.padd(ct1, pt).data),
             eng.ref.padd(_mirror(ct1), rpt).data,
         )
 
@@ -57,7 +63,7 @@ class TestBitExact:
         out = eng.hmult(ct1, ct2)
         ref_out = eng.ref.hmult(_mirror(ct1), _mirror(ct2))
         assert out.level == l - 1
-        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+        assert np.array_equal(_flat(out.data), ref_out.data)
 
     def test_hmult_lower_level(self, fixture, request):
         """Exercises partial digits at a level not divisible by alpha."""
@@ -66,7 +72,7 @@ class TestBitExact:
         ct1, ct2 = _enc_pair(eng, 2, 5, l)
         out = eng.hmult(ct1, ct2)
         ref_out = eng.ref.hmult(_mirror(ct1), _mirror(ct2))
-        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+        assert np.array_equal(_flat(out.data), ref_out.data)
 
     def test_hrotate(self, fixture, request):
         eng = request.getfixturevalue(fixture)
@@ -74,7 +80,7 @@ class TestBitExact:
         ct1, _ = _enc_pair(eng, 3, 4, l)
         out = eng.hrotate(ct1, 1)
         ref_out = eng.ref.hrotate(_mirror(ct1), 1)
-        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+        assert np.array_equal(_flat(out.data), ref_out.data)
 
     def test_rescale(self, fixture, request):
         eng = request.getfixturevalue(fixture)
@@ -83,7 +89,7 @@ class TestBitExact:
         out = eng.rescale(ct1)
         ref_out = eng.ref.rescale(_mirror(ct1))
         assert out.level == l - 1
-        assert np.array_equal(np.asarray(out.data).astype(np.uint64), ref_out.data)
+        assert np.array_equal(_flat(out.data), ref_out.data)
 
 
 class TestHomomorphic:

@@ -68,11 +68,12 @@ def test_bconv_kernels_match(engines):
     one_pl = jnp.asarray(np.ones(nd, dtype=np.uint32))
     one_sh = jnp.asarray(((np.ones(nd, dtype=np.uint64) << np.uint64(32))
                           // in_q).astype(np.uint32))
+    t = p.ntt
     out_mxu = np.asarray(
-        bconv_fused(xhat, one_pl, one_sh,
+        bconv_fused(xhat.reshape(nd, t.n1, t.n2), one_pl, one_sh,
                     jnp.asarray(in_q.astype(np.uint32)), bf16, hsh, q,
                     interpret=True)
-    )
+    ).reshape(m_out, p.n)
     assert np.array_equal(ref, out_mxu)
 
 

@@ -46,8 +46,8 @@ def test_sharded_hmult_matches_single_chip(shard_engine, shape):
     a_batch = _batch(eng, level, B, seed=1)
     b_batch = _batch(eng, level, B, seed=2)
 
-    ct_shard = NamedSharding(mesh, P("data", None, "limb", None))
-    evk_shard = NamedSharding(mesh, P(None, None, "limb", None))
+    ct_shard = NamedSharding(mesh, P("data", None, "limb", None, None))
+    evk_shard = NamedSharding(mesh, P(None, None, "limb", None, None))
     a_s = jax.device_put(a_batch, ct_shard)
     b_s = jax.device_put(b_batch, ct_shard)
     evk_s = jax.device_put(eng.relin_key, evk_shard)
@@ -96,7 +96,7 @@ def test_coeff_sharded_ntt_matches_single_chip():
     ).astype(np.uint32)
     tile = jnp.asarray(x.reshape(4, n1, n2))
     sharded = np.asarray(ntt_fn(tile))
-    expected = np.asarray(ntt_graph(jnp.asarray(x), nb)).reshape(4, n2, n1)
+    expected = np.asarray(ntt_graph(jnp.asarray(x.reshape(4, n1, n2)), nb))
     assert np.array_equal(sharded, expected)
     back = np.asarray(intt_fn(jnp.asarray(sharded)))
     assert np.array_equal(back, x.reshape(4, n1, n2))
