@@ -63,38 +63,33 @@ def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
     )
 
 
-def _convert_tile(x, spl, ssh, inq, mat, hsh, q):
-    """One 2-D tile [nd, C] -> [m_out, C]: step1, planes, matmul, Horner."""
-    xhat = shoup_mul(x, spl, ssh, inq)
+def _kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
+            o_ref):
+    x = x_ref[:]  # [nd, bn, C] uint32
+    nd, bn, C = x.shape
+    xhat = shoup_mul(x, spl_ref[:][:, :, None], ssh_ref[:][:, :, None],
+                     inq_ref[:][:, :, None])
     planes = [
         ((xhat >> (RADIX_BITS * k)) & (RADIX - 1)).astype(jnp.int32).astype(
             jnp.bfloat16
         )
         for k in range(NPLANES)
     ]
-    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, C] bf16
-    d = jnp.dot(mat, xbig, preferred_element_type=jnp.float32)
-    m_out = q.shape[0]
-    d = d.astype(jnp.int32).astype(jnp.uint32).reshape(
-        NPLANES, m_out, x.shape[1]
+    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, bn, C] bf16
+    # ONE rank-3 contraction per block: [P*m, P*nd] x [P*nd, bn, C].
+    d = jax.lax.dot_general(
+        mat_ref[:], xbig,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    m_out = o_ref.shape[0]
+    d = d.astype(jnp.int32).astype(jnp.uint32).reshape(NPLANES, m_out, bn, C)
+    q = outq_ref[:][:, :, None]
+    hsh = hsh_ref[:][:, :, None]
     r = d[NPLANES - 1]
     for i in range(NPLANES - 2, -1, -1):
         r = shoup_mul(r, RADIX, hsh, q) + d[i]
-    return jnp.where(r >= q, r - q, r)
-
-
-def _make_kernel(bn: int):
-    def kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
-               o_ref):
-        spl, ssh, inq = spl_ref[:], ssh_ref[:], inq_ref[:]
-        mat, hsh, q = mat_ref[:], hsh_ref[:], outq_ref[:]
-        for k in range(bn):
-            o_ref[:, k, :] = _convert_tile(
-                x_ref[:, k, :], spl, ssh, inq, mat, hsh, q
-            )
-
-    return kernel
+    o_ref[:] = jnp.where(r >= q, r - q, r)
 
 
 def _col(v):
@@ -112,13 +107,13 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
     nd, R, C = x.shape
     m_out = out_q.shape[0]
     bn = 1
-    for cand in (16, 8, 4, 2, 1):
-        if R % cand == 0:
+    for cand in (32, 16, 8, 4, 2, 1):
+        if R % cand == 0 and NPLANES * m_out * cand * C * 4 <= (1 << 23):
             bn = cand
             break
     grid = (R // bn,)
     out = pl.pallas_call(
-        _make_kernel(bn),
+        _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((nd, bn, C), lambda j: (0, j, 0),
