@@ -34,7 +34,7 @@ def chain_hmult(a, b, evk, kt, last_nt, out_nt, rs, iters):
 
 @jax.jit
 def chain_tensor(a, nt, iters):
-    q, qi, r2 = nt.q[:, None], nt.qinv[:, None], nt.r2[:, None]
+    q, qi, r2 = nt.q[:, None, None], nt.qinv[:, None, None], nt.r2[:, None, None]
 
     def body(_, carry):
         a0m = to_mont(carry[0], r2, q, qi)
@@ -70,7 +70,7 @@ def chain_modup_bconv(x, kt, iters):
                 kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
                 dt.other_nt.q,
             )[-L:]
-            acc = conv if acc is None else modadd(acc, conv, kt.main_nt.q[:, None])
+            acc = conv if acc is None else modadd(acc, conv, kt.main_nt.q[:, None, None])
         return acc
 
     return jax.lax.fori_loop(0, iters, body, x)
@@ -86,7 +86,7 @@ def chain_ntt_ext(x, kt, iters):
 @jax.jit
 def chain_ip(x, evk, kt, iters):
     evk_pl, evk_sh = evk
-    ext_q = kt.ext_nt.q[:, None]
+    ext_q = kt.ext_nt.q[:, None, None]
     k_ext = x.shape[0]
 
     def body(_, carry):
@@ -141,7 +141,7 @@ def chain_ksw_tail(x, evk, kt, iters):
         acc0, acc1 = inner_product_pieces(convs, carry, evk, kt)
         r0 = moddown_rescale(acc0, carry, kt)
         r1 = moddown_rescale(acc1, carry, kt)
-        out = modadd(r0, r1, kt.main_nt.q[: r0.shape[0], None])
+        out = modadd(r0, r1, kt.main_nt.q[: r0.shape[0], None, None])
         return jnp.concatenate([out, carry[-1:]], axis=0)
     return jax.lax.fori_loop(0, iters, body, x)
 
@@ -161,7 +161,7 @@ def chain_modup_all(x, kt, iters):
         acc = None
         for dg in digs:
             c = intt(dg, kt.ext_nt)[kt.special_nt.q.shape[0]:]
-            acc = c if acc is None else modadd(acc, c, kt.main_nt.q[:, None])
+            acc = c if acc is None else modadd(acc, c, kt.main_nt.q[:, None, None])
         return acc
     return jax.lax.fori_loop(0, iters, body, x)
 
