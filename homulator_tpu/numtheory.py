@@ -4,11 +4,13 @@ Everything here runs once at context-construction time with exact Python
 integers (no device code). The design decision that shapes the whole
 framework (SURVEY.md "hard parts" #1): TPUs have no native 64-bit integer
 multiply, so all device arithmetic is uint32 with Montgomery reduction at
-radix R = 2**32 and primes q in (2**28, 2**30). That keeps
+radix R = 2**32 and primes q in (2**28, 2**32/6). That keeps
 
   * a*b with a, b < 2**30  ->  128-bit-free (hi, lo) uint32 pair math,
   * REDC output  (a*b + m*q)/R < 2**28 + q < 2*q  ->  one conditional subtract,
-  * modadd sums < 2**31  ->  no overflow.
+  * modadd sums < 2**31  ->  no overflow,
+  * 6q < 2**32           ->  the NTT kernels' lazy [0, 6q) stage values and
+                             [0, 3q) approximate-Shoup products never wrap.
 
 The reference models 36-bit words (config_4.cfg:9 `elementBitWidth = 36`);
 we use more, smaller primes for the same total modulus bits, which is the
@@ -28,6 +30,12 @@ R_MASK = R - 1
 # Prime magnitude window (see module docstring for why).
 PRIME_MAX_BITS = 30
 PRIME_MIN_BITS = 28
+
+# Hard cap below 2**32 / 6: the Pallas NTT kernels run Harvey-style lazy
+# butterflies with an approximate (3-multiply) Shoup high-word whose error
+# is at most 1, so products land in [0, 3q) and stage values in [0, 6q).
+# 6q < 2**32 keeps every intermediate wrap-free in uint32 lanes.
+PRIME_CAP = (1 << 32) // 6  # 715827882; primes are generated strictly below
 
 
 def is_prime(n: int) -> bool:
@@ -71,8 +79,9 @@ def gen_ntt_primes(n: int, count: int, start_bits: int = PRIME_MAX_BITS) -> Tupl
     """
     two_n = 2 * n
     primes: List[int] = []
-    # Largest candidate of the form k*2n + 1 below 2**start_bits.
-    k = ((1 << start_bits) - 1 - 1) // two_n
+    # Largest candidate of the form k*2n + 1 below min(2**start_bits, PRIME_CAP)
+    # (see PRIME_CAP: the lazy NTT kernels need 6q < 2**32).
+    k = (min((1 << start_bits), PRIME_CAP) - 2) // two_n
     while len(primes) < count:
         cand = k * two_n + 1
         if cand < (1 << PRIME_MIN_BITS):

@@ -14,11 +14,12 @@ asserted in tests):
 
 * Constant multiplies use Shoup pairs (w, floor(w*2^32/q)) — ~20% fewer
   hardware multiplies than Montgomery REDC and no dependence on qinv.
-* Harvey-style LAZY reduction: butterflies keep values in [0, 4q)
-  (q < 2^30 so no uint32 wrap); the v-half Shoup product skips its final
-  conditional subtract, adds/subs skip theirs, and only the u half pays
-  one cond-sub-2q at stage entry. Values are reduced to [0, q) once at
-  kernel exit.
+* Harvey-style LAZY reduction, extra-lazy: the Shoup high word is the
+  3-multiply approximation (modmath.mulhi32_approx, err <= 1), so each
+  product lands in [0, 3q) and butterflies keep values in [0, 6q) forward
+  / [0, 3q) inverse — wrap-free because numtheory.PRIME_CAP bounds q below
+  2^32/6. The u half pays one cond-sub-3q at stage entry; values are
+  reduced to [0, q) once at kernel exit.
 * Stages with H >= 8 (sublane tile) run as sliced butterflies that
   multiply only the v half; the three sub-tile stages (H = 4, 2, 1) use
   sublane rolls with (row & H) masks — everything stays a 2-D [n, m]
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import shoup_mul_lazy
+from .modmath import shoup_mul_lazy3
 
 _MIN_SLICE_H = 8  # sublane tile for uint32; below this, slices relayout
 
@@ -61,30 +62,30 @@ def _csub(a, m):
 
 
 def _ct_stage_slice(a, w_col, wsh_col, H, q):
-    """One lazy CT stage via sublane-aligned slicing. In: [0,4q), out: [0,4q)."""
+    """One lazy CT stage via sublane-aligned slicing. In: [0,6q), out: [0,6q)."""
     n, m = a.shape
     B = n // (2 * H)
     a3 = a.reshape(B, 2 * H, m)
     w3 = w_col.reshape(B, 2 * H, 1)
     wsh3 = wsh_col.reshape(B, 2 * H, 1)
-    q2 = q + q
-    u = _csub(a3[:, :H], q2)  # [0, 2q)
-    v = shoup_mul_lazy(a3[:, H:], w3[:, H:], wsh3[:, H:], q)  # [0, 2q)
-    return jnp.concatenate([u + v, u - v + q2], axis=1).reshape(n, m)
+    q3 = q + q + q
+    u = _csub(a3[:, :H], q3)  # [0, 3q)
+    v = shoup_mul_lazy3(a3[:, H:], w3[:, H:], wsh3[:, H:], q)  # [0, 3q)
+    return jnp.concatenate([u + v, u - v + q3], axis=1).reshape(n, m)
 
 
 def _gs_stage_slice(a, w_col, wsh_col, H, q):
-    """One lazy GS stage. In: [0,2q), out: [0,2q)."""
+    """One lazy GS stage. In: [0,3q), out: [0,3q)."""
     n, m = a.shape
     B = n // (2 * H)
     a3 = a.reshape(B, 2 * H, m)
     w3 = w_col.reshape(B, 2 * H, 1)
     wsh3 = wsh_col.reshape(B, 2 * H, 1)
-    q2 = q + q
+    q3 = q + q + q
     u = a3[:, :H]
     v = a3[:, H:]
-    s0 = _csub(u + v, q2)  # [0, 2q)
-    s1 = shoup_mul_lazy(u - v + q2, w3[:, H:], wsh3[:, H:], q)  # [0, 2q)
+    s0 = _csub(u + v, q3)  # [0, 3q)
+    s1 = shoup_mul_lazy3(u - v + q3, w3[:, H:], wsh3[:, H:], q)  # [0, 3q)
     return jnp.concatenate([s0, s1], axis=1).reshape(n, m)
 
 
@@ -92,23 +93,23 @@ def _ct_stage_roll(a, w_col, wsh_col, H, q, interpret):
     n = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
     first = (row & H) == 0
-    q2 = q + q
+    q3 = q + q + q
     p = _partner(a, H, first, interpret)
     # v = partner on first rows, self on second; u is the other one.
-    u = _csub(jnp.where(first, a, p), q2)
-    t = shoup_mul_lazy(jnp.where(first, p, a), w_col, wsh_col, q)
-    return jnp.where(first, u + t, u - t + q2)
+    u = _csub(jnp.where(first, a, p), q3)
+    t = shoup_mul_lazy3(jnp.where(first, p, a), w_col, wsh_col, q)
+    return jnp.where(first, u + t, u - t + q3)
 
 
 def _gs_stage_roll(a, w_col, wsh_col, H, q, interpret):
     n = a.shape[0]
     row = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)
     first = (row & H) == 0
-    q2 = q + q
+    q3 = q + q + q
     p = _partner(a, H, first, interpret)
     # first rows: u + v; second rows: (u - v) * w with u = partner, v = a.
-    s1 = shoup_mul_lazy(p - a + q2, w_col, wsh_col, q)
-    return jnp.where(first, _csub(a + p, q2), s1)
+    s1 = shoup_mul_lazy3(p - a + q3, w_col, wsh_col, q)
+    return jnp.where(first, _csub(a + p, q3), s1)
 
 
 def _ct_stages_val(a, w_cols, wsh_cols, q, interpret):
@@ -147,11 +148,11 @@ def _make_ntt_kernel(interpret: bool):
         i = pl.program_id(0)
         q = q_ref[i, 0]
         a = x_ref[0]  # [n1, n2], [0, q)
-        a = _ct_stages_val(a, p1_ref[0], p1s_ref[0], q, interpret)  # [0,4q)
-        a = shoup_mul_lazy(a, mid_ref[0], mids_ref[0], q)  # [0, 2q)
+        a = _ct_stages_val(a, p1_ref[0], p1s_ref[0], q, interpret)  # [0,6q)
+        a = shoup_mul_lazy3(a, mid_ref[0], mids_ref[0], q)  # [0, 3q)
         a = a.T  # [n2, n1]
-        a = _ct_stages_val(a, p2_ref[0], p2s_ref[0], q, interpret)  # [0,4q)
-        o_ref[0] = _csub(_csub(a, q + q), q)
+        a = _ct_stages_val(a, p2_ref[0], p2s_ref[0], q, interpret)  # [0,6q)
+        o_ref[0] = _csub(_csub(_csub(a, 4 * q), q + q), q)
 
     return kernel
 
@@ -162,11 +163,11 @@ def _make_intt_kernel(interpret: bool):
         i = pl.program_id(0)
         q = q_ref[i, 0]
         a = x_ref[0]  # [n2, n1], [0, q)
-        a = _gs_stages_val(a, ip2_ref[0], ip2s_ref[0], q, interpret)  # <2q
+        a = _gs_stages_val(a, ip2_ref[0], ip2s_ref[0], q, interpret)  # <3q
         a = a.T  # [n1, n2]
-        a = shoup_mul_lazy(a, midi_ref[0], midis_ref[0], q)  # [0, 2q)
-        a = _gs_stages_val(a, ip1_ref[0], ip1s_ref[0], q, interpret)  # <2q
-        o_ref[0] = _csub(a, q)
+        a = shoup_mul_lazy3(a, midi_ref[0], midis_ref[0], q)  # [0, 3q)
+        a = _gs_stages_val(a, ip1_ref[0], ip1s_ref[0], q, interpret)  # <3q
+        o_ref[0] = _csub(_csub(a, q + q), q)
 
     return kernel
 

@@ -84,3 +84,36 @@ def test_ewe_muladd():
         (a.astype(object) * b.astype(object) + c.astype(object) * d.astype(object)) % q
     ).astype(np.uint64)
     assert np.array_equal(np.asarray(out).astype(np.uint64), expected)
+
+
+def test_mulhi32_approx_error_at_most_one():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 32, size=8192, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=8192, dtype=np.uint64)
+    approx = np.asarray(
+        mm.mulhi32_approx(
+            jnp.asarray(a.astype(np.uint32)), jnp.asarray(b.astype(np.uint32))
+        )
+    ).astype(np.uint64)
+    exact = np.array([(int(x) * int(y)) >> 32 for x, y in zip(a, b)], dtype=np.uint64)
+    err = exact - approx
+    assert err.min() >= 0 and err.max() <= 1
+
+
+def test_shoup_mul_lazy3_range_and_value():
+    rng = np.random.default_rng(8)
+    # Largest generated prime: closest to the 2^32/6 cap (worst lazy range).
+    q = nt.gen_ntt_primes(64, 1)[0]
+    assert 6 * q < 1 << 32, "PRIME_CAP must keep 6q wrap-free"
+    w = int(rng.integers(1, q))
+    wsh = (w << 32) // q
+    a = rng.integers(0, 1 << 32, size=8192, dtype=np.uint64)  # ANY uint32
+    out = np.asarray(
+        mm.shoup_mul_lazy3(
+            jnp.asarray(a.astype(np.uint32)), jnp.uint32(w), jnp.uint32(wsh),
+            jnp.uint32(q),
+        )
+    ).astype(np.uint64)
+    assert out.max() < 3 * q
+    expected = (a.astype(object) * w % q).astype(np.uint64)
+    assert np.array_equal(out % q, expected)
