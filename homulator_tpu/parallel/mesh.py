@@ -2,14 +2,19 @@
 
 The reference's parallel machine is `cluster` accelerator clusters joined
 by a pull-on-miss NoC (SURVEY.md §2 "Parallelism & communication
-inventory"); its two real work axes are RNS limbs (NTT/AUTO dispatched to
-cluster `level % cluster`, Driver.h:158,178) and ciphertext batches.
-TPU-native, those become mesh axes:
+inventory"); its real work axes are RNS limbs (NTT/AUTO dispatched to
+cluster `level % cluster`, Driver.h:158,178), coefficient batches (every
+op split into N/batchSize batch instructions, InsGen.cpp:12), and
+ciphertext batches. TPU-native, those become mesh axes:
 
-  'data' — ciphertext-batch data parallelism (embarrassingly parallel)
-  'limb' — limb (RNS) parallelism; elementwise ops shard freely, base
-           conversion contracts over limbs (XLA inserts the all-gather /
-           reduce the NoC modeled on-miss)
+  'data'  — ciphertext-batch data parallelism (embarrassingly parallel)
+  'limb'  — limb (RNS) parallelism; elementwise ops shard freely, base
+            conversion contracts over limbs (XLA inserts the all-gather /
+            reduce the NoC modeled on-miss)
+  'coeff' — coefficient-axis sharding (the sequence-parallel analog,
+            SURVEY.md §5): the 4-step NTT's inter-transpose becomes the
+            cross-device reshard the reference models as its
+            interTrans stage (interTrans_delay=256, config_4.cfg:48)
 
 Same code path 1 chip -> 1 host -> multi-host via jax.sharding.Mesh.
 """
@@ -22,32 +27,42 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+AXES = ("data", "limb", "coeff")
+
 
 def make_mesh(
-    shape: Optional[Tuple[int, int]] = None,
+    shape: Optional[Tuple[int, ...]] = None,
     n_devices: Optional[int] = None,
-    axis_names: Tuple[str, str] = ("data", "limb"),
+    axis_names: Optional[Tuple[str, ...]] = None,
 ) -> Mesh:
-    """Build a ('data', 'limb') mesh over the first n_devices devices."""
+    """Build a mesh over the first n_devices devices. Default axes are
+    ('data', 'limb') for a 2-tuple shape and ('data', 'limb', 'coeff')
+    for a 3-tuple."""
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     devs = devs[:n_devices]
     if shape is None:
         shape = (1, n_devices)
-    assert shape[0] * shape[1] == n_devices, (shape, n_devices)
+    if axis_names is None:
+        axis_names = AXES[: len(shape)] if len(shape) <= 3 else None
+    assert axis_names is not None and len(axis_names) == len(shape)
+    assert int(np.prod(shape)) == n_devices, (shape, n_devices)
     arr = np.array(devs).reshape(shape)
     return Mesh(arr, axis_names)
 
 
 def ct_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batched ciphertexts [B, 2, L, N]: batch over 'data', limbs over 'limb'."""
-    return NamedSharding(mesh, P("data", None, "limb", None))
+    """Batched ciphertexts [B, 2, L, R, C]: batch over 'data', limbs over
+    'limb', trailing coefficient axis over 'coeff' when the mesh has it."""
+    co = "coeff" if "coeff" in mesh.axis_names else None
+    return NamedSharding(mesh, P("data", None, "limb", None, co))
 
 
 def limb_sharding(mesh: Mesh) -> NamedSharding:
-    """Single ciphertext [2, L, N]: limbs over 'limb'."""
-    return NamedSharding(mesh, P(None, "limb", None))
+    """Single ciphertext [2, L, R, C]: limbs over 'limb' (+ 'coeff')."""
+    co = "coeff" if "coeff" in mesh.axis_names else None
+    return NamedSharding(mesh, P(None, "limb", None, co))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

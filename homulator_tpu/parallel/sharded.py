@@ -50,10 +50,16 @@ def batched_hmult_fn(dc: DeviceContext, level: int):
 
 
 def make_sharded_hmult(dc: DeviceContext, level: int, mesh: Mesh):
-    """jit-compiled batched hmult with ('data', 'limb') input shardings."""
+    """jit-compiled batched hmult. Input shardings: ciphertext batch over
+    'data', RNS limbs over 'limb', and — when the mesh has a 'coeff' axis —
+    the trailing coefficient-tile axis over 'coeff' (the sequence-parallel
+    analog: GSPMD lowers the 4-step NTT's [R, C] transpose under that
+    sharding to the cross-device all-to-all the reference models as its
+    interTrans stage, config_4.cfg:48)."""
     f = batched_hmult_fn(dc, level)
-    ct_shard = NamedSharding(mesh, P("data", None, "limb", None, None))
-    evk_shard = NamedSharding(mesh, P(None, None, "limb", None, None))
+    co = "coeff" if "coeff" in mesh.axis_names else None
+    ct_shard = NamedSharding(mesh, P("data", None, "limb", None, co))
+    evk_shard = NamedSharding(mesh, P(None, None, "limb", None, co))
     # Output sharding is left to the partitioner: the rescaled level-1 limb
     # count need not divide the 'limb' axis.
     return jax.jit(f, in_shardings=(ct_shard, ct_shard, evk_shard))

@@ -67,6 +67,41 @@ def test_sharded_hmult_matches_single_chip(shard_engine, shape):
         assert np.array_equal(out[i], ref), f"batch {i} mismatch at mesh {shape}"
 
 
+@pytest.mark.parametrize("shape", [(2, 2, 2), (1, 2, 4)])
+def test_coeff_sharded_hmult_matches_single_chip(shard_engine, shape):
+    """Full hmult with the coefficient-tile axis sharded ('coeff' mesh
+    axis, the sequence-parallel analog) == single-chip, bit-exact."""
+    eng = shard_engine
+    level = 8
+    n_dev = shape[0] * shape[1] * shape[2]
+    if n_dev > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(shape=shape, n_devices=n_dev)
+    B = 2
+    a_batch = _batch(eng, level, B, seed=3)
+    b_batch = _batch(eng, level, B, seed=4)
+
+    ct_shard = NamedSharding(mesh, P("data", None, "limb", None, "coeff"))
+    evk_shard = NamedSharding(mesh, P(None, None, "limb", None, "coeff"))
+    a_s = jax.device_put(a_batch, ct_shard)
+    b_s = jax.device_put(b_batch, ct_shard)
+    evk_s = jax.device_put(eng.relin_key, evk_shard)
+
+    f = make_sharded_hmult(eng.dc, level, mesh)
+    out = np.asarray(f(a_s, b_s, evk_s))
+
+    dc = eng.dc
+    kt = dc.keyswitch_tables(level)
+    last_nt = dc.ntt_basis((level - 1,))
+    out_nt = dc.ntt_basis(dc.main_rows(level - 1))
+    rs = dc.rescale_qinv_mont(level)
+    for i in range(B):
+        ref = np.asarray(
+            hmult_graph(a_batch[i], b_batch[i], eng.relin_key, kt, last_nt, out_nt, rs)
+        )
+        assert np.array_equal(out[i], ref), f"batch {i} mismatch at mesh {shape}"
+
+
 def test_graft_entry_dryrun():
     import sys
 
