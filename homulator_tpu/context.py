@@ -524,18 +524,20 @@ class DeviceContext:
         )
 
     def upload_kskey_mont(self, digits: List[np.ndarray]):
-        """Stack evk digits [dnum, 2, K, N] as a (plain, Shoup) pair — the
-        key inner product multiplies data by these constants, and Shoup
-        multiplication is ~2x faster than Montgomery on the VPU."""
+        """Stack evk digits as ONE Montgomery-form array [dnum, 2, K, R, C].
+
+        The key inner product is HBM-bandwidth-bound on evk reads (it
+        streams the whole key once per key switch), so the key is stored as
+        a single Montgomery array — half the bytes of a (plain, Shoup)
+        pair; the extra REDC multiplies hide under the DMA."""
         p = self.params
         L = p.max_level
         stacked = np.stack(digits).astype(np.uint64)  # [dnum, 2, K, N]
         # Specials-first row layout (see ext_rows).
         stacked = np.concatenate([stacked[:, :, L:], stacked[:, :, :L]], axis=2)
         qn = np.concatenate([p.q_arr[L:], p.q_arr[:L]])[None, None, :, None].astype(np.uint64)
-        pl = self._eval_tiles(stacked.astype(np.uint32))
-        sh = self._eval_tiles(((stacked << np.uint64(32)) // qn).astype(np.uint32))
-        return (jnp.asarray(pl), jnp.asarray(sh))
+        mont = ((stacked << np.uint64(32)) % qn).astype(np.uint32)
+        return jnp.asarray(self._eval_tiles(mont))
 
     def download(self, x: jnp.ndarray) -> np.ndarray:
         """Device tiles [..., R, C] -> host flat [..., N] uint64."""

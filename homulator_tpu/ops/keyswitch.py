@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from ..context import KeySwitchLevelTables
 from .bconv import bconv_step1, bconv_step2
-from .modmath import modadd, modsub, mont_mul, shoup_mul
+from .modmath import (
+    lazy_sum_reduce, modadd, modsub, mont_mul, mont_mul_lazy, shoup_mul,
+)
 from .ntt import intt, ntt
 
 
@@ -140,42 +142,52 @@ def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
 def inner_product_pieces(
     convs,  # tuple of [m_other, N] eval converted rows, one per digit
     d_eval: jnp.ndarray,  # [level, N] eval input poly (own rows of each digit)
-    evk,  # (plain, shoup) pair, each [dnum, 2, K, N], specials-first
+    evk_mont,  # Montgomery-form key [dnum, 2, K, N], specials-first
     kt: KeySwitchLevelTables,
 ):
     """Digit inner product over piecewise ModUp output. Returns per key k
     a pair (acc_sp [alpha, N], acc_main [level, N]) — the ext-basis
-    accumulator split at the specials boundary, never concatenated."""
-    evk_pl, evk_sh = evk
+    accumulator split at the specials boundary, never concatenated.
+
+    This streams the entire evk once per call and is HBM-bandwidth-bound,
+    so the key is a single Montgomery array (half the bytes of a Shoup
+    pair) and the per-digit products accumulate lazily (mont_mul_lazy +
+    one reduction per output row set)."""
     alpha = kt.special_nt.q.shape[0]
     sp_q = kt.special_nt.q[:, None, None]
+    sp_qi = kt.special_nt.qinv[:, None, None]
     segs = [(dt.lo, dt.hi) for dt in kt.digits]
     out = []
     for k in (0, 1):
-        sp = None
-        for d, conv in enumerate(convs):
-            t = shoup_mul(
-                conv[:alpha], evk_pl[d, k, :alpha], evk_sh[d, k, :alpha], sp_q
-            )
-            sp = t if sp is None else modadd(sp, t, sp_q)
+        sp = lazy_sum_reduce(
+            [
+                mont_mul_lazy(
+                    conv[:alpha], evk_mont[d, k, :alpha], sp_q, sp_qi
+                )
+                for d, conv in enumerate(convs)
+            ],
+            sp_q,
+        )
         mains = []
         for j, (lo, hi) in enumerate(segs):
             qseg = kt.main_nt.q[lo:hi, None, None]
+            qiseg = kt.main_nt.qinv[lo:hi, None, None]
             kk = slice(alpha + lo, alpha + hi)
-            cur = shoup_mul(
-                d_eval[lo:hi], evk_pl[j, k, kk], evk_sh[j, k, kk], qseg
-            )
+            terms = [
+                mont_mul_lazy(d_eval[lo:hi], evk_mont[j, k, kk], qseg, qiseg)
+            ]
             for d, conv in enumerate(convs):
                 if d == j:
                     continue
                 nd_d = segs[d][1] - segs[d][0]
                 off = alpha + lo - (nd_d if d < j else 0)
-                t = shoup_mul(
-                    conv[off: off + hi - lo],
-                    evk_pl[d, k, kk], evk_sh[d, k, kk], qseg,
+                terms.append(
+                    mont_mul_lazy(
+                        conv[off: off + hi - lo],
+                        evk_mont[d, k, kk], qseg, qiseg,
+                    )
                 )
-                cur = modadd(cur, t, qseg)
-            mains.append(cur)
+            mains.append(lazy_sum_reduce(terms, qseg))
         out.append((sp, jnp.concatenate(mains, axis=0)))
     return out
 
@@ -261,26 +273,24 @@ def modup_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
 
 def inner_product(
     ext_digits,  # tuple of [level+alpha, N] eval-domain lifted digits
-    evk,  # (plain, shoup) pair, each [dnum, 2, K, N]
+    evk_mont,  # Montgomery-form key [dnum, 2, K, N]
     kt: KeySwitchLevelTables,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Digit inner product against evk (the reference's dead HPIP unit,
     done for real): acc_k = sum_d digit_d * evk[d][k] over the ext basis.
-    The evk is a Shoup pair so each term is one shoup_mul."""
-    evk_pl, evk_sh = evk
+    Bandwidth-bound on the evk stream — single Montgomery array + lazy
+    accumulation (see inner_product_pieces)."""
     level = kt.level
     alpha = kt.special_nt.q.shape[0]
     ext_q = kt.ext_nt.q[:, None, None]
+    ext_qi = kt.ext_nt.qinv[:, None, None]
     k_ext = alpha + level  # keys are specials-first: contiguous prefix
 
-    acc0 = None
-    acc1 = None
+    t0s, t1s = [], []
     for d, ext_eval in enumerate(ext_digits):
-        t0 = shoup_mul(ext_eval, evk_pl[d, 0, :k_ext], evk_sh[d, 0, :k_ext], ext_q)
-        t1 = shoup_mul(ext_eval, evk_pl[d, 1, :k_ext], evk_sh[d, 1, :k_ext], ext_q)
-        acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
-        acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
-    return acc0, acc1
+        t0s.append(mont_mul_lazy(ext_eval, evk_mont[d, 0, :k_ext], ext_q, ext_qi))
+        t1s.append(mont_mul_lazy(ext_eval, evk_mont[d, 1, :k_ext], ext_q, ext_qi))
+    return lazy_sum_reduce(t0s, ext_q), lazy_sum_reduce(t1s, ext_q)
 
 
 def inner_product_moddown(
@@ -293,7 +303,7 @@ def inner_product_moddown(
 
 def keyswitch(
     d_eval: jnp.ndarray,  # [level, N] eval-domain poly to switch
-    evk,  # (plain, shoup) pair, each [dnum, 2, K, N]
+    evk,  # Montgomery-form key [dnum, 2, K, N]
     kt: KeySwitchLevelTables,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (e0, e1), each [level, N] eval, to add to (c0, c1)."""

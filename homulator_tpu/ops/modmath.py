@@ -81,6 +81,38 @@ def to_mont(a: jnp.ndarray, r2, q, qinv_neg) -> jnp.ndarray:
     return mont_mul(a, r2, q, qinv_neg)
 
 
+def mont_mul_lazy(a: jnp.ndarray, b_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
+    """Montgomery product WITHOUT the final conditional subtract: result in
+    [0, q + 2**28) ⊂ [0, 2q). For accumulation chains (key-switch inner
+    product) where per-term reduction is wasted work — sum lazily with
+    lazy_sum_reduce."""
+    hi, lo = mul32(a, b_mont)
+    m = mullo32(lo, qinv_neg)
+    mq_hi, _ = mul32(m, q)
+    return hi + mq_hi + (lo != 0).astype(jnp.uint32)
+
+
+def lazy_sum_reduce(terms, q) -> jnp.ndarray:
+    """Sum of terms each in [0, 2q), reduced to [0, q) at the end only.
+
+    The running value is kept < 4q (one conditional subtract of 2q before
+    every add past the second), so with numtheory.PRIME_CAP (6q < 2**32)
+    no intermediate ever wraps, for any number of terms."""
+    acc = terms[0]
+    bound = 2  # upper bound on acc, in units of q
+    for t in terms[1:]:
+        if bound >= 4:
+            acc = cond_sub(acc, q + q)  # < 4q -> < 2q
+            bound = 2
+        acc = acc + t
+        bound += 2
+    while bound > 1:  # halve the bound per conditional subtract
+        k = (bound + 1) // 2
+        acc = jnp.where(acc >= k * q, acc - k * q, acc)
+        bound = k
+    return acc
+
+
 def mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """High 32 bits of a*b."""
     return mul32(a, b)[0]

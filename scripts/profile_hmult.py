@@ -85,18 +85,20 @@ def chain_ntt_ext(x, kt, iters):
 
 @jax.jit
 def chain_ip(x, evk, kt, iters):
-    evk_pl, evk_sh = evk
+    from homulator_tpu.ops.modmath import lazy_sum_reduce, mont_mul_lazy
+
     ext_q = kt.ext_nt.q[:, None, None]
+    ext_qi = kt.ext_nt.qinv[:, None, None]
     k_ext = x.shape[0]
 
     def body(_, carry):
-        acc0 = acc1 = None
+        t0s, t1s = [], []
         for d in range(len(kt.digits)):
-            t0 = shoup_mul(carry, evk_pl[d, 0, :k_ext], evk_sh[d, 0, :k_ext], ext_q)
-            t1 = shoup_mul(carry, evk_pl[d, 1, :k_ext], evk_sh[d, 1, :k_ext], ext_q)
-            acc0 = t0 if acc0 is None else modadd(acc0, t0, ext_q)
-            acc1 = t1 if acc1 is None else modadd(acc1, t1, ext_q)
-        return modadd(acc0, acc1, ext_q)
+            t0s.append(mont_mul_lazy(carry, evk[d, 0, :k_ext], ext_q, ext_qi))
+            t1s.append(mont_mul_lazy(carry, evk[d, 1, :k_ext], ext_q, ext_qi))
+        return modadd(
+            lazy_sum_reduce(t0s, ext_q), lazy_sum_reduce(t1s, ext_q), ext_q
+        )
 
     return jax.lax.fori_loop(0, iters, body, x)
 
