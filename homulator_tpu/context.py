@@ -226,7 +226,17 @@ class DeviceContext:
         tests on the CPU backend)."""
         self.params = params
         if ntt_mode == "auto":
-            ntt_mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
+            # Pallas only for Mosaic-friendly tiles: the lane (last) axis
+            # must fill the 128-wide VPU registers and the sublane axis an
+            # (8, .) tile — below that Mosaic rejects the kernels' reshapes
+            # ("unsupported shape cast") and tiny shapes gain nothing from
+            # kernels anyway.
+            tiled_ok = params.ntt.n2 >= 128 and params.ntt.n1 >= 8
+            ntt_mode = (
+                "pallas"
+                if jax.default_backend() == "tpu" and tiled_ok
+                else "jnp"
+            )
         assert ntt_mode in ("pallas", "jnp", "interpret")
         self.ntt_mode = ntt_mode
         p = params
