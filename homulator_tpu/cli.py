@@ -16,7 +16,19 @@ import time
 import numpy as np
 
 
-def _setup_jax(platform: str | None, cache_dir: str | None):
+def _setup_jax(platform: str | None, cache_dir: str | None,
+               cluster: int | None = None):
+    import os
+
+    # The reference's [cluster] positional scales its simulated machine
+    # (bench_micro24.cpp:23-25); here it sizes the device mesh. On the CPU
+    # backend a cluster count > physical devices is provided by XLA's
+    # virtual host devices — the flag must land before backend init.
+    if cluster and cluster > 1 and platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={cluster}"
+        )
     import jax
 
     if platform:
@@ -31,20 +43,37 @@ def _setup_jax(platform: str | None, cache_dir: str | None):
 def run_op(args) -> int:
     from .config import RunConfig
 
-    jax = _setup_jax(args.platform, args.cache_dir)
+    jax = _setup_jax(args.platform, args.cache_dir, args.cluster)
     from .api import CkksEngine
     from .params import get_params
     from .stats import Statistic, op_modmul_count
 
-    rc = RunConfig.from_cli(args.cfg, args.op, args.max_level, args.level, args.alpha)
-    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}")
+    rc = RunConfig.from_cli(args.cfg, args.op, args.max_level, args.level,
+                            args.alpha, args.cluster)
+    mesh = None
+    n_mesh = rc.cluster if args.cluster is not None else 1
+    if n_mesh and n_mesh > 1:
+        if n_mesh > len(jax.devices()):
+            raise SystemExit(
+                f"cluster={n_mesh} > {len(jax.devices())} devices "
+                "(use --platform cpu for virtual devices)"
+            )
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(shape=(1, n_mesh), n_devices=n_mesh)
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}"
+          + (f" mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}" if mesh else ""))
     print(f"# N={rc.n} op={rc.op} maxLevel={rc.max_level} level={rc.level} "
           f"alpha={rc.alpha}")
 
     stats = Statistic()
     params = get_params(rc.n, rc.max_level, rc.alpha, rc.scale_bits)
     with stats.timer("setup/engine"):
-        eng = CkksEngine(params, seed=args.seed)
+        # Under a mesh the jnp graph path is used: GSPMD partitions it from
+        # the input shardings (the shard_map+Pallas path is per-shape; the
+        # CLI keeps the general path).
+        eng = CkksEngine(params, seed=args.seed,
+                         ntt_mode="jnp" if mesh else "auto")
     with stats.timer("setup/keygen"):
         eng.keygen()
 
@@ -57,6 +86,34 @@ def run_op(args) -> int:
         ct1 = eng.encrypt_complex(v1, rc.level, scale)
         ct2 = eng.encrypt_complex(v2, rc.level, scale)
         pt2 = eng.plaintext_complex(v2, rc.level, scale)
+
+    if mesh is not None:
+        # Limb-shard operands and keys over the mesh (the reference's
+        # limb-per-cluster dispatch, Driver.h:158); jitted op graphs
+        # propagate the shardings and GSPMD inserts the collectives.
+        import dataclasses as _dc
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if rc.level % n_mesh == 0:
+            ct_sh = NamedSharding(mesh, P(None, "limb", None, None))
+            pt_sh = NamedSharding(mesh, P("limb", None, None))
+            key_sh = NamedSharding(mesh, P(None, None, "limb", None, None))
+        else:
+            # Limb count not divisible by the mesh: shard the coefficient
+            # row (n2) axis instead — always a power of two (the
+            # reference's batch-per-cluster round-robin, Driver.h:193-207).
+            ct_sh = NamedSharding(mesh, P(None, None, "limb", None))
+            pt_sh = NamedSharding(mesh, P(None, "limb", None))
+            key_sh = NamedSharding(mesh, P(None, None, None, "limb", None))
+        ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
+        ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
+        pt2 = _dc.replace(pt2, data=jax.device_put(pt2.data, pt_sh))
+        if eng.relin_key is not None:
+            eng.relin_key = jax.device_put(eng.relin_key, key_sh)
+        if rc.op == "hrotate":
+            eng.gen_rotation_key(1)
+            eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
 
     def op_once():
         if rc.op == "hmult":
@@ -134,6 +191,9 @@ def main(argv=None) -> int:
     runp.add_argument("max_level", type=int)
     runp.add_argument("level", type=int)
     runp.add_argument("alpha", type=int)
+    runp.add_argument("cluster", type=int, nargs="?", default=None,
+                      help="optional device-mesh size (the reference's 6th "
+                           "positional, bench_micro24.cpp:23-25)")
     runp.add_argument("--iters", type=int, default=5)
     runp.add_argument("--seed", type=int, default=0)
     runp.add_argument("--verify", action="store_true")

@@ -83,9 +83,10 @@ def to_mont(a: jnp.ndarray, r2, q, qinv_neg) -> jnp.ndarray:
 
 def mont_mul_lazy(a: jnp.ndarray, b_mont: jnp.ndarray, q, qinv_neg) -> jnp.ndarray:
     """Montgomery product WITHOUT the final conditional subtract: result in
-    [0, q + 2**28) ⊂ [0, 2q). For accumulation chains (key-switch inner
-    product) where per-term reduction is wasted work — sum lazily with
-    lazy_sum_reduce."""
+    [0, 2q) for ANY uint32 a (tighter, [0, q + 2**28), when a < 2**30 —
+    callers must not rely on the tight bound). For accumulation chains
+    (key-switch inner product) where per-term reduction is wasted work —
+    sum lazily with lazy_sum_reduce, which only assumes terms < 2q."""
     hi, lo = mul32(a, b_mont)
     m = mullo32(lo, qinv_neg)
     mq_hi, _ = mul32(m, q)

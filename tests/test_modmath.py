@@ -100,6 +100,49 @@ def test_mulhi32_approx_error_at_most_one():
     assert err.min() >= 0 and err.max() <= 1
 
 
+def test_mont_mul_lazy_range_and_value():
+    """mont_mul_lazy: result < 2q for ANY uint32 a, and ≡ a*b (mod q).
+    Uses the largest generated prime (closest to PRIME_CAP — worst lazy
+    range)."""
+    rng = np.random.default_rng(9)
+    q = nt.gen_ntt_primes(64, 1)[0]
+    qinv_neg, r2, _ = nt.mont_constants(q)
+    a = rng.integers(0, 1 << 32, size=8192, dtype=np.uint64)  # ANY uint32
+    b = rng.integers(0, q, size=8192, dtype=np.uint64)
+    b_mont = (b.astype(object) * nt.R % q).astype(np.uint64)
+    out = np.asarray(
+        mm.mont_mul_lazy(
+            jnp.asarray(a.astype(np.uint32)),
+            jnp.asarray(b_mont.astype(np.uint32)),
+            jnp.uint32(q), jnp.uint32(qinv_neg),
+        )
+    ).astype(np.uint64)
+    assert out.max() < 2 * q
+    expected = (a.astype(object) * b.astype(object) % q).astype(np.uint64)
+    assert np.array_equal(out % q, expected)
+
+
+def test_lazy_sum_reduce_range_and_value():
+    """lazy_sum_reduce over 1..8 terms each in [0, 2q): exact mod-q sum in
+    [0, q), wrap-free at the largest generated prime."""
+    rng = np.random.default_rng(10)
+    q = nt.gen_ntt_primes(64, 1)[0]
+    qj = jnp.uint32(q)
+    for nterms in range(1, 9):  # covers dnum regimes up to 8 digits
+        terms_np = [
+            rng.integers(0, 2 * q, size=4096, dtype=np.uint64)
+            for _ in range(nterms)
+        ]
+        out = np.asarray(
+            mm.lazy_sum_reduce(
+                [jnp.asarray(t.astype(np.uint32)) for t in terms_np], qj
+            )
+        ).astype(np.uint64)
+        assert out.max() < q
+        expected = sum(t.astype(object) for t in terms_np) % q
+        assert np.array_equal(out, expected.astype(np.uint64))
+
+
 def test_shoup_mul_lazy3_range_and_value():
     rng = np.random.default_rng(8)
     # Largest generated prime: closest to the 2^32/6 cap (worst lazy range).
