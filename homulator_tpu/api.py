@@ -385,6 +385,45 @@ class CkksEngine:
         kt = self.dc.keyswitch_tables(level)
         return _keyswitch_graph(d, key, kt)
 
+    def op_cost_counters(self, op: str, a: Ciphertext,
+                         b: Optional[Ciphertext] = None,
+                         pt: Optional[Plaintext] = None) -> Dict[str, float]:
+        """Measured XLA cost/memory counters for one op's compiled graph
+        (stats.xla_counters — HBM bytes, buffer residency, flops). Shares
+        the jit compilation cache with normal execution."""
+        from .stats import xla_counters
+
+        l = a.level
+        if op == "hmult":
+            kt = self.dc.keyswitch_tables(l)
+            args = (a.data, b.data, self.relin_key, kt,
+                    self.dc.ntt_basis((l - 1,)),
+                    self.dc.ntt_basis(self.dc.main_rows(l - 1)),
+                    self.dc.rescale_qinv_mont(l))
+            graph = _hmult_graph
+        elif op == "hrotate":
+            if 1 not in self.rot_keys:
+                self.gen_rotation_key(1)
+            perm = self.dc.automorph_perm(self.params.galois_elt(1))
+            args = (a.data, perm, self.rot_keys[1],
+                    self.dc.keyswitch_tables(l))
+            graph = _hrotate_graph
+        elif op == "hadd":
+            q, _, _ = self.dc.q_level(l)
+            args = (a.data, b.data, q)
+            graph = _hadd_graph
+        elif op == "pmult":
+            q, qinv, r2 = self.dc.q_level(l)
+            args = (a.data, pt.data, q, qinv, r2)
+            graph = _pmult_graph
+        elif op == "padd":
+            q, _, _ = self.dc.q_level(l)
+            args = (a.data, pt.data, q)
+            graph = _padd_graph
+        else:
+            raise ValueError(op)
+        return xla_counters(graph.lower(*args).compile())
+
     def rescale(self, a: Ciphertext) -> Ciphertext:
         l = a.level
         last_nt = self.dc.ntt_basis((l - 1,))

@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .api import hmult_graph
+from .api import (
+    _hadd_graph, _hrotate_graph, _padd_graph, _pmult_graph, hmult_graph,
+)
 from .ops.keyswitch import keyswitch
 from .ops.ntt import intt, ntt
 
@@ -32,6 +34,39 @@ def _chained_hmult(a, b, evk, kt, last_nt, out_nt, rs, iters):
     def body(_, carry):
         out = hmult_graph(carry, b, evk, kt, last_nt, out_nt, rs)
         return jnp.concatenate([out, carry[:, -1:]], axis=1)
+
+    return jax.lax.fori_loop(0, iters, body, a)
+
+
+@jax.jit
+def _chained_hadd(a, b, q, iters):
+    def body(_, carry):
+        return _hadd_graph(carry, b, q)
+
+    return jax.lax.fori_loop(0, iters, body, a)
+
+
+@jax.jit
+def _chained_padd(a, pt, q, iters):
+    def body(_, carry):
+        return _padd_graph(carry, pt, q)
+
+    return jax.lax.fori_loop(0, iters, body, a)
+
+
+@jax.jit
+def _chained_pmult(a, pt, q, qinv, r2, iters):
+    def body(_, carry):
+        return _pmult_graph(carry, pt, q, qinv, r2)
+
+    return jax.lax.fori_loop(0, iters, body, a)
+
+
+@jax.jit
+def _chained_hrotate(a, perm, rotk, kt, iters):
+    """hrotate keeps the level, so the output feeds back directly."""
+    def body(_, carry):
+        return _hrotate_graph(carry, perm, rotk, kt)
 
     return jax.lax.fori_loop(0, iters, body, a)
 
@@ -86,3 +121,29 @@ def ntt_pair_seconds(eng, x, level: int, k1: int = 4, k2: int = 150) -> float:
     [level, n2, n1]."""
     nb = eng.dc.ntt_basis(eng.dc.main_rows(level))
     return time_chained(_chained_ntt, k1, k2, x, nb)
+
+
+def hadd_seconds(eng, ct1, ct2, k1: int = 16, k2: int = 400) -> float:
+    q, _, _ = eng.dc.q_level(ct1.level)
+    return time_chained(_chained_hadd, k1, k2, ct1.data, ct2.data, q)
+
+
+def padd_seconds(eng, ct, pt, k1: int = 16, k2: int = 400) -> float:
+    q, _, _ = eng.dc.q_level(ct.level)
+    return time_chained(_chained_padd, k1, k2, ct.data, pt.data, q)
+
+
+def pmult_seconds(eng, ct, pt, k1: int = 16, k2: int = 400) -> float:
+    q, qinv, r2 = eng.dc.q_level(ct.level)
+    return time_chained(_chained_pmult, k1, k2, ct.data, pt.data, q, qinv, r2)
+
+
+def hrotate_seconds(eng, ct, step: int = 1, k1: int = 4, k2: int = 28) -> float:
+    if step not in eng.rot_keys:
+        eng.gen_rotation_key(step)
+    g = eng.params.galois_elt(step)
+    perm = eng.dc.automorph_perm(g)
+    kt = eng.dc.keyswitch_tables(ct.level)
+    return time_chained(
+        _chained_hrotate, k1, k2, ct.data, perm, eng.rot_keys[step], kt
+    )

@@ -155,6 +155,18 @@ def run_op(args) -> int:
     stats.set("limbs", rc.level)
     stats.set("batchCount", rc.n // 256)  # reference batch granularity
 
+    # Measured executable counters (reference Statistic parity: HBM beats,
+    # SPM word traffic, per-unit busy work — Staistics.h:30-36).
+    try:
+        cc = eng.op_cost_counters(rc.op, ct1, ct2, pt2)
+        for k, v in cc.items():
+            stats.set(k, v)
+        best = min(stats.timings[f"op/{rc.op}"])
+        if "HBM_bytes" in cc and best > 0:
+            stats.set("HBM_GBps_achieved", cc["HBM_bytes"] / best / 1e9)
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# xla counters unavailable: {e}")
+
     if args.verify:
         with stats.timer("verify/decrypt"):
             got = eng.decrypt_complex(out)

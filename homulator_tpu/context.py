@@ -75,7 +75,7 @@ class Plaintext:
     jax.tree_util.register_dataclass,
     data_fields=["q", "qinv", "r2", "stage1", "tw_mid", "stage2",
                  "istage1", "tw_mid_inv", "istage2", "pfwd", "pinv"],
-    meta_fields=["n1", "n2", "use_pallas", "interpret"],
+    meta_fields=["n1", "n2", "use_pallas", "interpret", "shard_axis"],
 )
 @dataclasses.dataclass
 class NttBasis:
@@ -92,6 +92,14 @@ class NttBasis:
     (uint32[M, n, log2(n)]: column s holds, for every row r, the twiddle of
     the block containing r at stage s, block = r >> (log2(n) - s)) and
     mid* are the uint32[M, n1, n2] mid twiddles.
+
+    shard_axis: when set (a mesh axis name), ntt/intt run as SPMD bodies
+    inside shard_map with the trailing (coefficient) axis of every tile
+    sharded over that axis: butterfly phases stay device-local and the
+    4-step inter-transpose becomes an ICI all_to_all (the reference's
+    interTrans stage, config_4.cfg:48, src/Components.cpp:411-419). The
+    mid-twiddle tables must then be passed through shard_map with a
+    matching P(None, None, shard_axis) spec (parallel/sharded.py).
     """
 
     q: jnp.ndarray
@@ -109,6 +117,7 @@ class NttBasis:
     n2: int
     use_pallas: bool
     interpret: bool
+    shard_axis: Optional[str] = None
 
 
 @functools.partial(
@@ -319,9 +328,11 @@ class DeviceContext:
         return self.special_rows() + self.main_rows(level)
 
     # ---- table slicing ---------------------------------------------------
-    def ntt_basis(self, rows: Tuple[int, ...]) -> NttBasis:
-        if rows in self._nt_cache:
-            return self._nt_cache[rows]
+    def ntt_basis(self, rows: Tuple[int, ...],
+                  shard_axis: Optional[str] = None) -> NttBasis:
+        key = (rows, shard_axis)
+        if key in self._nt_cache:
+            return self._nt_cache[key]
         r = np.array(rows, dtype=np.int64)
         pallas = self.ntt_mode != "jnp"
         # Only the tables the selected path reads become device arrays; the
@@ -367,13 +378,16 @@ class DeviceContext:
             n1=self.params.ntt.n1, n2=self.params.ntt.n2,
             use_pallas=pallas,
             interpret=self.ntt_mode == "interpret",
+            shard_axis=shard_axis,
         )
-        self._nt_cache[rows] = nb
+        self._nt_cache[key] = nb
         return nb
 
-    def keyswitch_tables(self, level: int) -> KeySwitchLevelTables:
-        if level in self._ks_cache:
-            return self._ks_cache[level]
+    def keyswitch_tables(self, level: int,
+                         shard_axis: Optional[str] = None) -> KeySwitchLevelTables:
+        ck = (level, shard_axis)
+        if ck in self._ks_cache:
+            return self._ks_cache[ck]
         p = self.params
         qn = p.q_arr
         ext = self.ext_rows(level)
@@ -405,7 +419,7 @@ class DeviceContext:
                 orn = np.array(other_rows)
                 mat_mont = empty
                 bf16, hsh = build_bf16_tables(full_mat[orn], qn[orn])
-                other_nt = self.ntt_basis(other_rows)
+                other_nt = self.ntt_basis(other_rows, shard_axis)
             else:
                 orn = np.array(other_rows)
                 mat_pl = full_mat[orn]
@@ -466,14 +480,14 @@ class DeviceContext:
                 p_pl=tp_pl, p_sh=tp_sh,
                 pq_inv_pl=tpq_pl, pq_inv_sh=tpq_sh,
                 md2_last_pl=md2l_pl, md2_last_sh=md2l_sh,
-                last_nt=self.ntt_basis((lm1,)),
-                out_nt=self.ntt_basis(self.main_rows(lm1)),
+                last_nt=self.ntt_basis((lm1,), shard_axis),
+                out_nt=self.ntt_basis(self.main_rows(lm1), shard_axis),
             )
         kt = KeySwitchLevelTables(
             digits=tuple(digits),
-            main_nt=self.ntt_basis(self.main_rows(level)),
-            ext_nt=self.ntt_basis(ext),
-            special_nt=self.ntt_basis(self.special_rows()),
+            main_nt=self.ntt_basis(self.main_rows(level), shard_axis),
+            ext_nt=self.ntt_basis(ext, shard_axis),
+            special_nt=self.ntt_basis(self.special_rows(), shard_axis),
             moddown_s1_mont=jnp.asarray(self._moddown_s1),
             moddown_s1_pl=md1_pl, moddown_s1_sh=md1_sh,
             moddown_s2_mont=md2_mont,
@@ -484,7 +498,7 @@ class DeviceContext:
             tail=tail,
             level=level,
         )
-        self._ks_cache[level] = kt
+        self._ks_cache[ck] = kt
         return kt
 
     def rescale_qinv_mont(self, level: int):

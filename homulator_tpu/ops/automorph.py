@@ -10,6 +10,7 @@ limb.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -20,3 +21,18 @@ def automorph_eval(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     r, c = x.shape[-2:]
     flat = x.reshape(x.shape[:-2] + (r * c,))
     return jnp.take(flat, perm, axis=-1).reshape(x.shape)
+
+
+def automorph_eval_sharded(x: jnp.ndarray, perm: jnp.ndarray,
+                           axis: str) -> jnp.ndarray:
+    """SPMD body (inside shard_map): x is the local column slice
+    [..., n2, n1/ns] of an eval-domain tile sharded on its trailing axis
+    over mesh axis `axis`. sigma_g moves slots arbitrarily across devices
+    (the reference's AUTOU swap network crossing cluster lanes,
+    include/Components.h:201-238), so the tile is all-gathered over ICI,
+    permuted locally, and re-sliced to this device's columns."""
+    full = jax.lax.all_gather(x, axis, axis=x.ndim - 1, tiled=True)
+    rot = automorph_eval(full, perm)
+    c = x.shape[-1]
+    i = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(rot, i * c, c, axis=x.ndim - 1)

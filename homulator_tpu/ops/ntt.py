@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..context import NttBasis
@@ -63,10 +64,80 @@ def _gs_stages(x: jnp.ndarray, tws: Tuple[jnp.ndarray, ...], q, qinv) -> jnp.nda
     return x
 
 
+def _transpose_a2a(y: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Distributed tile transpose inside shard_map: y is the LOCAL column
+    slice [M, a, b/ns] of a global [M, a, b] array sharded on its trailing
+    axis over mesh axis `axis`; returns the local slice [M, b, a/ns] of the
+    global transpose [M, b, a], again trailing-sharded. ONE ICI all_to_all
+    (the reference NTTU's interTrans stage, src/Components.cpp:411-419) +
+    a device-local transpose."""
+    # split my `a` rows into ns chunks, send chunk i to device i, receive
+    # every device's rows for MY chunk concatenated along the column axis
+    # (blocks arrive in device order = global column order).
+    z = jax.lax.all_to_all(y, axis, split_axis=1, concat_axis=2, tiled=True)
+    return z.transpose(0, 2, 1)  # [M, b, a/ns]
+
+
+def _ntt_sharded(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    """SPMD body (inside shard_map): x local [M, n1, n2/ns] coeff columns
+    -> [M, n2, n1/ns] eval columns. Butterfly phases are device-local
+    (Pallas kernels when nb.use_pallas); the inter-transpose is an ICI
+    all_to_all."""
+    axis = nb.shard_axis
+    if nb.use_pallas:
+        from .ntt_pallas import ntt_phase1_pallas, ntt_phase2_pallas
+
+        p1, p1s, mid, mids, p2, p2s = nb.pfwd
+        c = x.shape[2]
+        y = ntt_phase1_pallas(
+            x, nb.q, p1, p1s, mid, mids, n1=nb.n1, c=c,
+            interpret=nb.interpret,
+        )
+        y = _transpose_a2a(y, axis)
+        return ntt_phase2_pallas(
+            y, nb.q, p2, p2s, n2=nb.n2, c=y.shape[2], interpret=nb.interpret,
+        )
+    M = x.shape[0]
+    q3 = nb.q.reshape(M, 1, 1)
+    qi3 = nb.qinv.reshape(M, 1, 1)
+    y = _ct_stages(x, nb.stage1, nb.q, nb.qinv)
+    y = mont_mul(y, nb.tw_mid, q3, qi3)  # tw_mid = local column slice
+    y = _transpose_a2a(y, axis)
+    return _ct_stages(y, nb.stage2, nb.q, nb.qinv)
+
+
+def _intt_sharded(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
+    """SPMD body: x local [M, n2, n1/ns] eval columns -> [M, n1, n2/ns]
+    coeff columns."""
+    axis = nb.shard_axis
+    if nb.use_pallas:
+        from .ntt_pallas import intt_phase1_pallas, intt_phase2_pallas
+
+        ip1, ip1s, midi, midis, ip2, ip2s = nb.pinv
+        y = intt_phase2_pallas(
+            x, nb.q, ip2, ip2s, n2=nb.n2, c=x.shape[2],
+            interpret=nb.interpret,
+        )
+        y = _transpose_a2a(y, axis)
+        return intt_phase1_pallas(
+            y, nb.q, midi, midis, ip1, ip1s, n1=nb.n1, c=y.shape[2],
+            interpret=nb.interpret,
+        )
+    M = x.shape[0]
+    q3 = nb.q.reshape(M, 1, 1)
+    qi3 = nb.qinv.reshape(M, 1, 1)
+    y = _gs_stages(x, nb.istage2, nb.q, nb.qinv)
+    y = _transpose_a2a(y, axis)
+    y = mont_mul(y, nb.tw_mid_inv, q3, qi3)  # local column slice
+    return _gs_stages(y, nb.istage1, nb.q, nb.qinv)
+
+
 def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
     """x: [M, n1, n2] coeff tiles -> [M, n2, n1] eval tiles. Device arrays
     are 3-D everywhere (coeff = [n1, n2], eval = [n2, n1]); the flat
     order is only materialized at host boundaries."""
+    if nb.shard_axis is not None:
+        return _ntt_sharded(x, nb)
     if nb.use_pallas:
         from .ntt_pallas import ntt_pallas
 
@@ -85,6 +156,8 @@ def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
 
 def intt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
     """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""
+    if nb.shard_axis is not None:
+        return _intt_sharded(x, nb)
     if nb.use_pallas:
         from .ntt_pallas import intt_pallas
 

@@ -208,6 +208,142 @@ def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False):
     )(q.reshape(M, 1), p1, p1s, mid, mids, p2, p2s, x)
 
 
+# --------------------------------------------------------------------------
+# Phase-split kernels: the two device-local halves of the 4-step transform
+# when the coefficient (trailing) axis is sharded over a mesh axis. The
+# inter-transpose between them runs as an ICI all_to_all OUTSIDE the kernel
+# (ops/ntt.py `_ntt_sharded`) — the reference's interTrans stage
+# (config_4.cfg:48, src/Components.cpp:411-419) as a real collective.
+# Each kernel reduces its output to [0, q) so the wire format is canonical.
+# --------------------------------------------------------------------------
+def _make_ntt_phase1_kernel(interpret: bool):
+    def kernel(q_ref, p1_ref, p1s_ref, mid_ref, mids_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        q = q_ref[i, 0]
+        a = x_ref[0]  # [n1, c] local columns, [0, q)
+        a = _ct_stages_val(a, p1_ref[0], p1s_ref[0], q, interpret)  # [0,6q)
+        a = shoup_mul_lazy3(a, mid_ref[0], mids_ref[0], q)  # [0, 3q)
+        o_ref[0] = _csub(_csub(a, q + q), q)
+
+    return kernel
+
+
+def _make_ntt_phase2_kernel(interpret: bool):
+    def kernel(q_ref, p2_ref, p2s_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        q = q_ref[i, 0]
+        a = x_ref[0]  # [n2, c] local columns, [0, q)
+        a = _ct_stages_val(a, p2_ref[0], p2s_ref[0], q, interpret)  # [0,6q)
+        o_ref[0] = _csub(_csub(_csub(a, 4 * q), q + q), q)
+
+    return kernel
+
+
+def _make_intt_phase2_kernel(interpret: bool):
+    def kernel(q_ref, ip2_ref, ip2s_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        q = q_ref[i, 0]
+        a = x_ref[0]  # [n2, c] eval columns, [0, q)
+        a = _gs_stages_val(a, ip2_ref[0], ip2s_ref[0], q, interpret)  # <3q
+        o_ref[0] = _csub(_csub(a, q + q), q)
+
+    return kernel
+
+
+def _make_intt_phase1_kernel(interpret: bool):
+    def kernel(q_ref, midi_ref, midis_ref, ip1_ref, ip1s_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        q = q_ref[i, 0]
+        a = x_ref[0]  # [n1, c], [0, q)
+        a = shoup_mul_lazy3(a, midi_ref[0], midis_ref[0], q)  # [0, 3q)
+        a = _gs_stages_val(a, ip1_ref[0], ip1s_ref[0], q, interpret)  # <3q
+        o_ref[0] = _csub(_csub(a, q + q), q)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "c", "interpret"))
+def ntt_phase1_pallas(x, q, p1, p1s, mid, mids, *, n1, c, interpret=False):
+    """Stage-1 butterflies + mid twiddle on [M, n1, c] local column slices
+    (c = n2 / n_shards; mid/mids are the device-local mid-twiddle column
+    slices). Output [M, n1, c] in [0, q)."""
+    M = x.shape[0]
+    l1 = n1.bit_length() - 1
+    return pl.pallas_call(
+        _make_ntt_phase1_kernel(interpret),
+        grid=(M,),
+        in_specs=[
+            _SMEM_FULL,
+            _slab(n1, l1), _slab(n1, l1),
+            _slab(n1, c), _slab(n1, c),
+            _slab(n1, c),
+        ],
+        out_specs=_slab(n1, c),
+        out_shape=jax.ShapeDtypeStruct((M, n1, c), jnp.uint32),
+        interpret=interpret,
+    )(q.reshape(M, 1), p1, p1s, mid, mids, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "c", "interpret"))
+def ntt_phase2_pallas(x, q, p2, p2s, *, n2, c, interpret=False):
+    """Stage-2 butterflies on [M, n2, c] (c = n1 / n_shards after the
+    inter-transpose). Output [M, n2, c] eval columns in [0, q)."""
+    M = x.shape[0]
+    l2 = n2.bit_length() - 1
+    return pl.pallas_call(
+        _make_ntt_phase2_kernel(interpret),
+        grid=(M,),
+        in_specs=[
+            _SMEM_FULL,
+            _slab(n2, l2), _slab(n2, l2),
+            _slab(n2, c),
+        ],
+        out_specs=_slab(n2, c),
+        out_shape=jax.ShapeDtypeStruct((M, n2, c), jnp.uint32),
+        interpret=interpret,
+    )(q.reshape(M, 1), p2, p2s, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "c", "interpret"))
+def intt_phase2_pallas(x, q, ip2, ip2s, *, n2, c, interpret=False):
+    """Inverse stage-2 (GS) butterflies on [M, n2, c] eval column slices."""
+    M = x.shape[0]
+    l2 = n2.bit_length() - 1
+    return pl.pallas_call(
+        _make_intt_phase2_kernel(interpret),
+        grid=(M,),
+        in_specs=[
+            _SMEM_FULL,
+            _slab(n2, l2), _slab(n2, l2),
+            _slab(n2, c),
+        ],
+        out_specs=_slab(n2, c),
+        out_shape=jax.ShapeDtypeStruct((M, n2, c), jnp.uint32),
+        interpret=interpret,
+    )(q.reshape(M, 1), ip2, ip2s, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "c", "interpret"))
+def intt_phase1_pallas(x, q, midi, midis, ip1, ip1s, *, n1, c, interpret=False):
+    """Inverse mid twiddle + stage-1 (GS) butterflies on [M, n1, c] coeff
+    column slices. Output [M, n1, c] coeff columns in [0, q)."""
+    M = x.shape[0]
+    l1 = n1.bit_length() - 1
+    return pl.pallas_call(
+        _make_intt_phase1_kernel(interpret),
+        grid=(M,),
+        in_specs=[
+            _SMEM_FULL,
+            _slab(n1, c), _slab(n1, c),
+            _slab(n1, l1), _slab(n1, l1),
+            _slab(n1, c),
+        ],
+        out_specs=_slab(n1, c),
+        out_shape=jax.ShapeDtypeStruct((M, n1, c), jnp.uint32),
+        interpret=interpret,
+    )(q.reshape(M, 1), midi, midis, ip1, ip1s, x)
+
+
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
 def intt_pallas(x, q, pinv, *, n1, n2, interpret=False):
     """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""

@@ -1,38 +1,238 @@
 """Sharded (multi-chip) operation graphs.
 
-Round-1 design: the jnp op graphs (ops/ntt.py path) are pure elementwise /
-contraction programs over [.., L, N] limb arrays, so GSPMD partitions them
-directly from input shardings — the scaling-book recipe (pick a mesh,
-annotate shardings, let XLA insert collectives):
+Two multi-chip execution paths, both bit-exact vs single chip
+(tests/test_sharding.py):
 
-  * limb axis over 'limb': NTT butterflies and EWE lanes are limb-local
-    (the reference's limb-per-cluster dispatch, Driver.h:158); base
-    conversion contracts over limbs, for which XLA inserts the
-    all-gather/reduce that the reference models as pull-on-miss NoC copies
-    (mem.h:612-633).
-  * ciphertext-batch axis over 'data': batched ops vmap over a leading
-    batch axis — pure data parallelism for serving workloads.
+1. **shard_map + Pallas kernels + explicit ICI collectives** (the
+   performance path, `make_shardmap_hmult` / `make_shardmap_hrotate`):
+   every device array keeps its TRAILING (coefficient) axis sharded over
+   the mesh's 'coeff' axis — the sequence-parallel analog of how the
+   reference splits each polynomial into N/batchSize batches across
+   clusters (InsGen.cpp:12, Driver.h:193-246). Under this layout the
+   entire hmult/hrotate graph is device-local — tensor product, the fused
+   bconv MXU kernels (contraction over limbs), the key-switch inner
+   product, ModDown, Rescale — EXCEPT:
 
-The Pallas kernels are single-chip programs; under a mesh we use the jnp
-path (ntt_mode='jnp') so the SPMD partitioner owns the layout. Fusing the
-Pallas kernels with shard_map + explicit collectives is the planned next
-step (coefficient-axis sharding with the NTT inter-transpose as an ICI
-all_to_all).
+     * the 4-step NTT inter-transpose: ONE `lax.all_to_all` per transform
+       (the reference's interTrans stage, config_4.cfg:48,
+       src/Components.cpp:411-419) — ops/ntt.py `_transpose_a2a`;
+     * the Galois automorphism: an all_gather + local permutation
+       (AUTOU's cross-lane swap network, include/Components.h:201-238).
+
+   The single-chip Pallas kernels run unmodified inside the shard_map on
+   their local column slices (the NTT as phase-split halves around the
+   all_to_all, ops/ntt_pallas.py `*_phase*_pallas`). Limb counts never
+   constrain the mesh: only n1 and n2 (powers of two, 256 each at N=2^16)
+   must divide the 'coeff' axis size.
+
+2. **GSPMD-partitioned jnp graph** (`make_sharded_hmult`): the
+   scaling-book recipe — annotate input shardings over ('data', 'limb'
+   [, 'coeff']) and let the SPMD partitioner insert collectives. Handles
+   arbitrary (including non-divisible-limb) layouts; used by the CLI's
+   [cluster] knob. Limb axis ≈ reference clusters (Driver.h:158).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import hmult_graph
-from ..context import DeviceContext
+from ..context import (
+    DeviceContext, KeySwitchLevelTables, ModUpDigitTables, NttBasis,
+    TailTables,
+)
+from ..ops.automorph import automorph_eval_sharded
+from ..ops.keyswitch import keyswitch
+from ..ops.modmath import modadd
 
 
+# --------------------------------------------------------------------------
+# PartitionSpec trees for the table pytrees (passed through shard_map so
+# each device receives its column slice of the mid-twiddle tables; all
+# other tables are replicated).
+# --------------------------------------------------------------------------
+def _ntt_basis_specs(nb: NttBasis, axis: str) -> NttBasis:
+    mid = P(None, None, axis)
+
+    def m(a):
+        return mid if getattr(a, "ndim", 0) == 3 else P()
+
+    pfwd = (P(), P(), mid, mid, P(), P()) if nb.pfwd else ()
+    pinv = (P(), P(), mid, mid, P(), P()) if nb.pinv else ()
+    return NttBasis(
+        q=P(), qinv=P(), r2=P(),
+        stage1=tuple(P() for _ in nb.stage1),
+        tw_mid=m(nb.tw_mid),
+        stage2=tuple(P() for _ in nb.stage2),
+        istage1=tuple(P() for _ in nb.istage1),
+        tw_mid_inv=m(nb.tw_mid_inv),
+        istage2=tuple(P() for _ in nb.istage2),
+        pfwd=pfwd, pinv=pinv,
+        n1=nb.n1, n2=nb.n2, use_pallas=nb.use_pallas,
+        interpret=nb.interpret, shard_axis=nb.shard_axis,
+    )
+
+
+def _tail_specs(tt: TailTables, axis: str) -> TailTables:
+    return TailTables(
+        bf16=P(), horner_sh=P(), in_q=P(), one_pl=P(), one_sh=P(),
+        p_pl=P(), p_sh=P(), pq_inv_pl=P(), pq_inv_sh=P(),
+        md2_last_pl=P(), md2_last_sh=P(),
+        last_nt=_ntt_basis_specs(tt.last_nt, axis),
+        out_nt=_ntt_basis_specs(tt.out_nt, axis),
+    )
+
+
+def _keyswitch_specs(kt: KeySwitchLevelTables, axis: str) -> KeySwitchLevelTables:
+    digits = tuple(
+        ModUpDigitTables(
+            step1_mont=P(), step1_pl=P(), step1_sh=P(),
+            mat_other_mont=P(), mat_bf16=P(), horner_sh=P(),
+            other_nt=(
+                _ntt_basis_specs(dt.other_nt, axis)
+                if dt.other_nt is not None else None
+            ),
+            lo=dt.lo, hi=dt.hi,
+        )
+        for dt in kt.digits
+    )
+    return KeySwitchLevelTables(
+        digits=digits,
+        main_nt=_ntt_basis_specs(kt.main_nt, axis),
+        ext_nt=_ntt_basis_specs(kt.ext_nt, axis),
+        special_nt=_ntt_basis_specs(kt.special_nt, axis),
+        moddown_s1_mont=P(), moddown_s1_pl=P(), moddown_s1_sh=P(),
+        moddown_s2_mont=P(), moddown_bf16=P(), moddown_horner_sh=P(),
+        pinv_mont=P(), pinv_pl=P(), pinv_sh=P(),
+        tail=_tail_specs(kt.tail, axis) if kt.tail is not None else None,
+        level=kt.level,
+    )
+
+
+# --------------------------------------------------------------------------
+# shard_map path (Pallas kernels + explicit collectives)
+# --------------------------------------------------------------------------
+def make_shardmap_hmult(
+    dc: DeviceContext, level: int, mesh: Mesh, *,
+    axis: str = "coeff", data_axis: Optional[str] = None,
+):
+    """jitted hmult over `mesh` with the coefficient (trailing) axis of
+    every array sharded over mesh axis `axis`, running the SINGLE-CHIP
+    Pallas kernels per shard and explicit ICI all_to_all transposes.
+
+    Without data_axis: f(a, b, evk) over [2, level, R, C] ciphertexts.
+    With data_axis: f(a_batch, b_batch, evk) over [B, 2, level, R, C]
+    (batch data-parallel over `data_axis`, vmapped inside the shard_map).
+    Requires axis_size(axis) to divide n1 and n2.
+    """
+    ns = mesh.shape[axis]
+    t = dc.params.ntt
+    assert t.n1 % ns == 0 and t.n2 % ns == 0, (t.n1, t.n2, ns)
+    kt = dc.keyswitch_tables(level, shard_axis=axis)
+    last_nt = dc.ntt_basis((level - 1,), shard_axis=axis)
+    out_nt = dc.ntt_basis(dc.main_rows(level - 1), shard_axis=axis)
+    rs = dc.rescale_qinv_mont(level)
+
+    kt_sp = _keyswitch_specs(kt, axis)
+    lnt_sp = _ntt_basis_specs(last_nt, axis)
+    ont_sp = _ntt_basis_specs(out_nt, axis)
+    rs_sp = (P(), P(), P())
+    evk_sp = P(None, None, None, None, axis)
+
+    if data_axis is None:
+        ct_sp = P(None, None, None, axis)
+        body = hmult_graph
+    else:
+        ct_sp = P(data_axis, None, None, None, axis)
+
+        def body(a, b, evk, kt, lnt, ont, rs):
+            return jax.vmap(
+                lambda x, y: hmult_graph(x, y, evk, kt, lnt, ont, rs)
+            )(a, b)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(ct_sp, ct_sp, evk_sp, kt_sp, lnt_sp, ont_sp, rs_sp),
+        out_specs=ct_sp,
+        check_vma=False,
+    )
+    return jax.jit(lambda a, b, evk: f(a, b, evk, kt, last_nt, out_nt, rs))
+
+
+def _hrotate_body(a, perm, rotk, kt, axis):
+    """AUTO (all_gather + local permute) -> KeySwitch (local Pallas kernels,
+    all_to_all NTT transposes) -> add. Mirrors _hrotate_graph (api.py) /
+    the reference's HROTATE (src/Operation.cpp:1271-1451)."""
+    q = kt.main_nt.q[:, None, None]
+    r0 = automorph_eval_sharded(a[0], perm, axis)
+    r1 = automorph_eval_sharded(a[1], perm, axis)
+    e0, e1 = keyswitch(r1, rotk, kt)
+    return jnp.stack([modadd(r0, e0, q), e1])
+
+
+def make_shardmap_hrotate(
+    dc: DeviceContext, level: int, mesh: Mesh, *, axis: str = "coeff",
+):
+    """jitted f(a, perm, rotk) -> rotated ciphertext data, coefficient axis
+    sharded over `axis` (see make_shardmap_hmult)."""
+    ns = mesh.shape[axis]
+    t = dc.params.ntt
+    assert t.n1 % ns == 0 and t.n2 % ns == 0, (t.n1, t.n2, ns)
+    kt = dc.keyswitch_tables(level, shard_axis=axis)
+    kt_sp = _keyswitch_specs(kt, axis)
+    ct_sp = P(None, None, None, axis)
+    evk_sp = P(None, None, None, None, axis)
+
+    f = jax.shard_map(
+        functools.partial(_hrotate_body, axis=axis), mesh=mesh,
+        in_specs=(ct_sp, P(), evk_sp, kt_sp),
+        out_specs=ct_sp,
+        check_vma=False,
+    )
+    return jax.jit(lambda a, perm, rotk: f(a, perm, rotk, kt))
+
+
+def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
+    """EXACT per-device ICI receive volume (bytes) of one shard_map op at
+    `level` over an ns-way 'coeff' axis — counted from the collective
+    schedule of the graph, the analog of the reference's NoC_Mem_Chip
+    counter (src/mem.cpp:95).
+
+    Each limb-transform's inter-transpose all_to_all receives
+    (ns-1)/ns * N * 4 bytes; each automorphism all_gather receives
+    (ns-1) * local_bytes = (ns-1)/ns * level * N * 4.
+    """
+    alpha = params.alpha
+    n = params.n
+    beta = params.beta(level)
+    digits = [params.digit_range(level, d) for d in range(beta)]
+    # modup: intt(level) + per-digit ntt over its OTHER rows
+    transforms = level + sum(
+        (alpha + level) - (hi - lo) for lo, hi in digits
+    )
+    if op == "hmult":
+        # 2 fused moddown+rescale tails: intt(alpha) + intt(1) + ntt(level-1)
+        transforms += 2 * (alpha + 1 + level - 1)
+        gathers = 0
+    elif op == "hrotate":
+        # 2 moddowns: intt(alpha) + ntt(level); 2 automorph all_gathers
+        transforms += 2 * (alpha + level)
+        gathers = 2
+    else:
+        raise ValueError(op)
+    per_tf = (ns - 1) * n * 4 // ns
+    per_gather = (ns - 1) * level * n * 4 // ns
+    return transforms * per_tf + gathers * per_gather
+
+
+# --------------------------------------------------------------------------
+# GSPMD path (jnp graph, partitioner-inserted collectives)
+# --------------------------------------------------------------------------
 def batched_hmult_fn(dc: DeviceContext, level: int):
     """Returns f(a_batch, b_batch, evk) -> out_batch for [B, 2, level, N]."""
     kt = dc.keyswitch_tables(level)

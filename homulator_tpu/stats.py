@@ -62,6 +62,41 @@ class Statistic:
         return json.dumps(out)
 
 
+def xla_counters(compiled) -> Dict[str, float]:
+    """MEASURED counters for one compiled XLA executable, named after the
+    reference's Statistic surface (include/Staistics.h:30-36; populated
+    there by src/mem.cpp:48,68-69,106):
+
+      HBM_bytes       — total bytes accessed by the compiled program (the
+                        reference's HBM_(c) beat counter, mem.cpp:106)
+      MEM_arg_bytes / MEM_out_bytes / MEM_temp_bytes — argument / output /
+                        temp buffer residency (the SPM MEM_(c) word-traffic
+                        analog, mem.cpp:68-69)
+      FLOPs_compiled  — XLA's flop count for the program (per-unit busy
+                        cycle analog, Arch.h:280-295)
+
+    These come from the executable's own cost/memory analysis — measured
+    properties of the compiled program, not hand-derived estimates.
+    """
+    out: Dict[str, float] = {}
+    try:
+        ca = compiled.cost_analysis() or {}
+    except Exception:
+        ca = {}
+    if "bytes accessed" in ca:
+        out["HBM_bytes"] = float(ca["bytes accessed"])
+    if "flops" in ca:
+        out["FLOPs_compiled"] = float(ca["flops"])
+    try:
+        ma = compiled.memory_analysis()
+        out["MEM_arg_bytes"] = float(ma.argument_size_in_bytes)
+        out["MEM_out_bytes"] = float(ma.output_size_in_bytes)
+        out["MEM_temp_bytes"] = float(ma.temp_size_in_bytes)
+    except Exception:
+        pass
+    return out
+
+
 def op_modmul_count(op: str, n: int, level: int, alpha: int, dnum_used: int) -> int:
     """Analytic modmul counts per op (for roofline accounting).
 

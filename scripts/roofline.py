@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Roofline / MFU measurement for the attached TPU chip.
+
+The north-star asks for >=90% of roofline *modmul* throughput per chip
+(BASELINE.md:73-79). This script measures, all via chained on-device loops
+(difference quotient, homulator_tpu/benchlib.py — the axon transport makes
+per-dispatch timing unreliable):
+
+  PEAKS (micro-kernels, compute-bound by construction):
+    u32_mul    peak native uint32 elementwise multiply rate (VPU)
+    shoup      peak Shoup modmul rate (the framework's constant-multiply
+               primitive: ~10 hardware multiplies per modmul)
+    mont       peak Montgomery modmul rate (REDC, ~11 multiplies)
+    bf16_mxu   peak bf16 matmul rate (MXU, f32 accumulation)
+    hbm        streaming bandwidth (y += x over HBM-resident arrays)
+
+  ACHIEVED (framework kernels at the canonical set-B workload):
+    ntt        Pallas 4-step NTT kernel, modmul/s and HBM GB/s
+    bconv      fused bf16-plane base-conversion kernel, MXU FLOP/s
+    hmult      whole hmult(45,35,15), modmul/s (analytic count / latency)
+
+Prints a table + one JSON line; writes ROOFLINE.json at the repo root.
+"""
+
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from homulator_tpu import benchlib
+    from homulator_tpu.api import CkksEngine
+    from homulator_tpu.ops.modmath import mont_mul, shoup_mul
+    from homulator_tpu.params import get_params
+    from homulator_tpu.stats import op_modmul_count
+
+    results = {"backend": jax.default_backend()}
+
+    # ---- peak micro-kernels ----------------------------------------------
+    S = 32  # multiplies chained per loop iteration (static unroll)
+    ELEMS = 8 * 1024 * 1024  # 32 MB of uint32: larger than VMEM, fused loop
+    rng = np.random.default_rng(0)
+    q = np.uint32(716799361)  # largest-band prime scale (below 2^32/6)
+    x0 = jnp.asarray(
+        rng.integers(0, q, size=(2048, ELEMS // 2048), dtype=np.uint64
+                     ).astype(np.uint32))
+    w = np.uint32(123456789 % q)
+    wsh = np.uint32((int(w) << 32) // int(q))
+    qinv = np.uint32((-pow(int(q), -1, 1 << 32)) % (1 << 32))
+    wm = np.uint32((int(w) << 32) % int(q))
+
+    @jax.jit
+    def _u32_mul_chain(x, iters):
+        def body(_, y):
+            for _ in range(S):
+                y = y * jnp.uint32(w)
+            return y
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    @jax.jit
+    def _shoup_chain(x, iters):
+        def body(_, y):
+            for _ in range(S):
+                y = shoup_mul(y, jnp.uint32(w), jnp.uint32(wsh), jnp.uint32(q))
+            return y
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    @jax.jit
+    def _mont_chain(x, iters):
+        def body(_, y):
+            for _ in range(S):
+                y = mont_mul(y, jnp.uint32(wm), jnp.uint32(q), jnp.uint32(qinv))
+            return y
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def rate(fn, *args, k1=2, k2=10):
+        sec = benchlib.time_chained(fn, k1, k2, *args)
+        return ELEMS * S / sec
+
+    results["peak_u32_mul_per_s"] = rate(_u32_mul_chain, x0)
+    results["peak_shoup_modmul_per_s"] = rate(_shoup_chain, x0)
+    results["peak_mont_modmul_per_s"] = rate(_mont_chain, x0)
+
+    # bf16 MXU peak: chained square matmul, bf16 accumulate-to-bf16 chain.
+    DIM = 4096
+    a0 = jnp.asarray(rng.normal(size=(DIM, DIM)).astype(np.float32)
+                     ).astype(jnp.bfloat16) * jnp.bfloat16(1e-2)
+
+    @jax.jit
+    def _mxu_chain(z, a, iters):
+        def body(_, y):
+            y = jnp.dot(y, a, preferred_element_type=jnp.float32)
+            return (y * 1e-4).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, iters, body, z)
+
+    sec = benchlib.time_chained(_mxu_chain, 2, 12, a0, a0)
+    results["peak_bf16_mxu_flop_per_s"] = 2 * DIM**3 / sec
+
+    # HBM streaming bandwidth: y = y + x over two HBM-resident arrays
+    # (reads 2 arrays + writes 1 per iteration).
+    BIG = 64 * 1024 * 1024  # 256 MB per array
+    xb = jnp.zeros((4096, BIG // 4096), dtype=jnp.uint32)
+
+    @jax.jit
+    def _stream_chain(y, x, iters):
+        def body(_, z):
+            return z + x
+        return jax.lax.fori_loop(0, iters, body, y)
+
+    sec = benchlib.time_chained(_stream_chain, 2, 10, xb, xb)
+    results["hbm_stream_gb_per_s"] = 3 * BIG * 4 / sec / 1e9
+
+    # ---- achieved: framework kernels at set B ----------------------------
+    n, max_level, level, alpha = 65536, 45, 35, 15
+    params = get_params(n=n, max_level=max_level, alpha=alpha)
+    eng = CkksEngine(params, seed=1)
+    eng.keygen()
+    scale = 2.0**29
+    m = np.zeros(n, dtype=np.int64)
+    m[0] = int(3 * scale)
+    ct1 = eng.encrypt_ints(m, level, scale)
+    ct2 = eng.encrypt_ints(m, level, scale)
+
+    # NTT kernel: modmuls per limb transform = (log2 n)*(n/2) butterflies
+    # + n mid twiddles.
+    logn = n.bit_length() - 1
+    ntt_modmul = logn * (n // 2) + n
+    pair_sec = benchlib.ntt_pair_seconds(eng, ct1.data[0], level)
+    per_tf = pair_sec / (2 * level)
+    results["ntt_us_per_limb_transform"] = per_tf * 1e6
+    results["ntt_achieved_modmul_per_s"] = ntt_modmul / per_tf
+    results["ntt_pct_of_shoup_peak"] = (
+        100 * results["ntt_achieved_modmul_per_s"]
+        / results["peak_shoup_modmul_per_s"])
+    # HBM floor: one read + one write of the [n] tile per transform.
+    results["ntt_hbm_gb_per_s"] = 2 * n * 4 / per_tf / 1e9
+    results["ntt_pct_of_hbm_peak"] = (
+        100 * results["ntt_hbm_gb_per_s"] / results["hbm_stream_gb_per_s"])
+
+    # Fused bconv kernel: set-B ModUp digit-0 shape (nd=15 -> 35 other rows).
+    from homulator_tpu.ops.bconv_fused import bconv_fused
+
+    kt = eng.dc.keyswitch_tables(level)
+    dt = kt.digits[0]
+    nd = dt.hi - dt.lo
+    t = params.ntt
+    xd = ct1.data[0][:nd].transpose(0, 2, 1)  # [nd, n1, n2] coeff-shaped
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _bconv_chain(x, iters):
+        def body(_, y):
+            out = bconv_fused(y, dt.step1_pl, dt.step1_sh,
+                              kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16,
+                              dt.horner_sh, dt.other_nt.q)
+            return out[:nd]  # feed a same-shaped slice back
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    sec = benchlib.time_chained(_bconv_chain, 2, 16, xd)
+    m_out = dt.other_nt.q.shape[0]
+    results["bconv_us_per_digit"] = sec * 1e6
+    # bf16-plane matmul FLOPs actually issued to the MXU:
+    results["bconv_mxu_flop_per_s"] = 2 * (4 * m_out) * (4 * nd) * n / sec
+    results["bconv_pct_of_mxu_peak"] = (
+        100 * results["bconv_mxu_flop_per_s"]
+        / results["peak_bf16_mxu_flop_per_s"])
+    results["bconv_modmul_equiv_per_s"] = m_out * nd * n / sec
+
+    # Whole hmult.
+    hm_sec = benchlib.hmult_seconds(eng, ct1, ct2)
+    total_modmul = op_modmul_count("hmult", n, level, alpha,
+                                   params.beta(level))
+    results["hmult_ms"] = hm_sec * 1e3
+    results["hmult_modmul_total"] = total_modmul
+    results["hmult_achieved_modmul_per_s"] = total_modmul / hm_sec
+    results["hmult_pct_of_shoup_peak"] = (
+        100 * results["hmult_achieved_modmul_per_s"]
+        / results["peak_shoup_modmul_per_s"])
+
+    for k, v in results.items():
+        print(f"{k:40s} {v if isinstance(v, str) else f'{v:.6g}'}")
+    with open("/root/repo/ROOFLINE.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"roofline": "written"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

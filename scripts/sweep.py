@@ -64,29 +64,21 @@ def run_sweep(sets, ops, levels_arg, iters, out_dir):
                     ct2 = eng.encrypt_ints(m, level, scale)
                     pt = eng.plaintext_ints(m, level, 1.0)
                     t_compile = time.perf_counter()
-                    if op == "hmult" and level >= 2:
+                    # Every op is timed as a chained on-device loop
+                    # (benchlib): the tunnel's per-dispatch latency cancels
+                    # in the difference quotient.
+                    if op == "hmult":
                         sec = benchlib.hmult_seconds(eng, ct1, ct2)
+                    elif op == "hrotate":
+                        sec = benchlib.hrotate_seconds(eng, ct1, 1)
+                    elif op == "hadd":
+                        sec = benchlib.hadd_seconds(eng, ct1, ct2)
+                    elif op == "pmult":
+                        sec = benchlib.pmult_seconds(eng, ct1, pt)
+                    elif op == "padd":
+                        sec = benchlib.padd_seconds(eng, ct1, pt)
                     else:
-                        def once():
-                            if op == "hadd":
-                                return eng.hadd(ct1, ct2)
-                            if op == "hrotate":
-                                return eng.hrotate(ct1, 1)
-                            if op == "pmult":
-                                return eng.pmult(ct1, pt)
-                            if op == "padd":
-                                return eng.padd(ct1, pt)
-                            return eng.hmult(ct1, ct2)
-
-                        out = once()
-                        out.data.block_until_ready()
-                        ts = []
-                        for _ in range(iters):
-                            t0 = time.perf_counter()
-                            out = once()
-                            out.data.block_until_ready()
-                            ts.append(time.perf_counter() - t0)
-                        sec = min(ts)
+                        raise SystemExit(f"unknown op {op}")
                     rec = {
                         "set": set_name, "op": op, "n": params.n,
                         "max_level": cfg["max_level"], "level": level,

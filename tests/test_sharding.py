@@ -7,10 +7,12 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from homulator_tpu.api import CkksEngine, hmult_graph
+from homulator_tpu.api import CkksEngine, _hrotate_graph, hmult_graph
 from homulator_tpu.params import get_params
 from homulator_tpu.parallel.mesh import make_mesh
-from homulator_tpu.parallel.sharded import make_sharded_hmult
+from homulator_tpu.parallel.sharded import (
+    make_sharded_hmult, make_shardmap_hmult, make_shardmap_hrotate,
+)
 
 SCALE = 2.0**29
 
@@ -21,6 +23,27 @@ def shard_engine():
     eng = CkksEngine(params, seed=5, ntt_mode="jnp")
     eng.keygen()
     return eng
+
+
+@pytest.fixture(scope="module")
+def pallas_engine():
+    """Interpret-mode Pallas engine: the shard_map path runs the SAME
+    kernel code the TPU runs, interpreted on the CPU mesh."""
+    params = get_params(n=256, max_level=8, alpha=4)
+    eng = CkksEngine(params, seed=5, ntt_mode="interpret")
+    eng.keygen()
+    return eng
+
+
+def _hmult_ref(eng, a, b, level):
+    dc = eng.dc
+    kt = dc.keyswitch_tables(level)
+    return np.asarray(
+        hmult_graph(
+            a, b, eng.relin_key, kt, dc.ntt_basis((level - 1,)),
+            dc.ntt_basis(dc.main_rows(level - 1)), dc.rescale_qinv_mont(level),
+        )
+    )
 
 
 def _batch(eng, level, B, seed):
@@ -100,6 +123,72 @@ def test_coeff_sharded_hmult_matches_single_chip(shard_engine, shape):
             hmult_graph(a_batch[i], b_batch[i], eng.relin_key, kt, last_nt, out_nt, rs)
         )
         assert np.array_equal(out[i], ref), f"batch {i} mismatch at mesh {shape}"
+
+
+@pytest.mark.parametrize("coeff", [2, 4, 8])
+def test_shardmap_hmult_pallas_matches_single_chip(pallas_engine, coeff):
+    """The PERFORMANCE multi-chip path: shard_map over the 'coeff' axis
+    running the single-chip Pallas kernels (interpret mode) per shard with
+    explicit all_to_all NTT inter-transposes — bit-exact vs single chip."""
+    eng = pallas_engine
+    level = 8
+    if coeff > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(shape=(1, coeff), n_devices=coeff,
+                     axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=11)[0]
+    b = _batch(eng, level, 1, seed=12)[0]
+    f = make_shardmap_hmult(eng.dc, level, mesh)
+    out = np.asarray(f(a, b, eng.relin_key))
+    assert np.array_equal(out, _hmult_ref(eng, a, b, level))
+
+
+def test_shardmap_hmult_data_parallel_batched(pallas_engine):
+    """data x coeff mesh: batch vmapped inside the shard_map, coefficient
+    axis sharded — both axes exercised together."""
+    eng = pallas_engine
+    level = 8
+    mesh = make_mesh(shape=(2, 4), n_devices=8, axis_names=("data", "coeff"))
+    B = 4
+    ab = _batch(eng, level, B, seed=13)
+    bb = _batch(eng, level, B, seed=14)
+    f = make_shardmap_hmult(eng.dc, level, mesh, data_axis="data")
+    out = np.asarray(f(ab, bb, eng.relin_key))
+    for i in range(B):
+        assert np.array_equal(out[i], _hmult_ref(eng, ab[i], bb[i], level)), i
+
+
+def test_shardmap_hmult_jnp_path(shard_engine):
+    """The shard_map orchestration also runs the jnp (Montgomery) table
+    path — same collectives, no Pallas."""
+    eng = shard_engine
+    level = 8
+    mesh = make_mesh(shape=(1, 8), n_devices=8, axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=15)[0]
+    b = _batch(eng, level, 1, seed=16)[0]
+    f = make_shardmap_hmult(eng.dc, level, mesh)
+    out = np.asarray(f(a, b, eng.relin_key))
+    assert np.array_equal(out, _hmult_ref(eng, a, b, level))
+
+
+def test_shardmap_hrotate_pallas_matches_single_chip(pallas_engine):
+    """hrotate on the shard_map path: all_gather automorphism + sharded
+    key switch, bit-exact vs the single-chip graph."""
+    eng = pallas_engine
+    level = 8
+    step = 3
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(1, 4), n_devices=4, axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=17)[0]
+    g = eng.params.galois_elt(step)
+    perm = eng.dc.automorph_perm(g)
+    f = make_shardmap_hrotate(eng.dc, level, mesh)
+    out = np.asarray(f(a, perm, eng.rot_keys[step]))
+    ref = np.asarray(
+        _hrotate_graph(a, perm, eng.rot_keys[step],
+                       eng.dc.keyswitch_tables(level))
+    )
+    assert np.array_equal(out, ref)
 
 
 def test_graft_entry_dryrun():
