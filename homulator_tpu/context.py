@@ -529,6 +529,20 @@ class DeviceContext:
             self._perm_cache[g] = jnp.asarray(self.params.automorph_eval_perm(g))
         return self._perm_cache[g]
 
+    def automorph_stage_maps(self, g: int):
+        """3-stage (sublane/lane/sublane gather) maps for sigma_g on the
+        [n2, n1] eval tile (ops/perm_decomp.py); cached per Galois elt."""
+        key = ("stage", g)
+        if key not in self._perm_cache:
+            from .ops.perm_decomp import decompose_grid_perm
+
+            t = self.params.ntt
+            s1, s2, s3 = decompose_grid_perm(
+                self.params.automorph_eval_perm(g), t.n2, t.n1
+            )
+            self._perm_cache[key] = tuple(jnp.asarray(s) for s in (s1, s2, s3))
+        return self._perm_cache[key]
+
     # ---- host <-> device conversion -------------------------------------
     def _eval_tiles(self, flat: np.ndarray) -> np.ndarray:
         """Host flat eval order [..., N] -> device eval tiles [..., n2, n1]."""

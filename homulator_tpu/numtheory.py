@@ -14,7 +14,13 @@ radix R = 2**32 and primes q in (2**28, 2**32/6). That keeps
 
 The reference models 36-bit words (config_4.cfg:9 `elementBitWidth = 36`);
 we use more, smaller primes for the same total modulus bits, which is the
-idiomatic mapping onto 32-bit TPU vector lanes.
+idiomatic mapping onto 32-bit TPU vector lanes. Concretely (generated
+primes average 29.30 effective bits at N=2^16): the reference's set-B
+workload `hmult 45 35 15` models a 36*45 = 1620-bit main / 1260-bit live /
+540-bit special modulus, which this framework matches with L=56, level=43,
+alpha=19 (dnum stays 3). Both settings are benchmarked —
+scripts/bench_parity36.py, results in BENCH_NOTES.md — so the headline
+number exists at the reference's limb counts AND at its modulus magnitude.
 """
 
 from __future__ import annotations

@@ -23,6 +23,22 @@ def automorph_eval(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(flat, perm, axis=-1).reshape(x.shape)
 
 
+def automorph_eval_staged(x: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray,
+                          s3: jnp.ndarray) -> jnp.ndarray:
+    """3-stage form of the same permutation: sublane gather, lane gather,
+    sublane gather (ops/perm_decomp.py — the routing-network realization
+    of the reference's AUTOU stage fabric, include/Components.h:201-238).
+    x: [..., n2, n1]; s*: int32[n2, n1] stage maps. Bit-identical to
+    automorph_eval(x, perm) for maps built from the same perm."""
+    nd = x.ndim - 2
+    s1b = s1.reshape((1,) * nd + s1.shape)
+    s2b = s2.reshape((1,) * nd + s2.shape)
+    s3b = s3.reshape((1,) * nd + s3.shape)
+    t1 = jnp.take_along_axis(x, s1b, axis=-2)
+    t2 = jnp.take_along_axis(t1, s2b, axis=-1)
+    return jnp.take_along_axis(t2, s3b, axis=-2)
+
+
 def automorph_eval_sharded(x: jnp.ndarray, perm: jnp.ndarray,
                            axis: str) -> jnp.ndarray:
     """SPMD body (inside shard_map): x is the local column slice

@@ -63,9 +63,12 @@ def main() -> int:
 
     @jax.jit
     def _u32_mul_chain(x, iters):
+        # dependent SQUARING chain: y*const would let XLA fold the S
+        # multiplies into one (measured 2e18/s — impossible); y*y cannot
+        # be algebraically collapsed.
         def body(_, y):
             for _ in range(S):
-                y = y * jnp.uint32(w)
+                y = y * y + jnp.uint32(12345)
             return y
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -85,7 +88,9 @@ def main() -> int:
             return y
         return jax.lax.fori_loop(0, iters, body, x)
 
-    def rate(fn, *args, k1=2, k2=10):
+    def rate(fn, *args, k1=8, k2=200):
+        # one loop iteration is ~0.1-1 ms of device time; run hundreds so
+        # the difference quotient clears the multi-ms transport noise.
         sec = benchlib.time_chained(fn, k1, k2, *args)
         return ELEMS * S / sec
 
@@ -105,21 +110,27 @@ def main() -> int:
             return (y * 1e-4).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, iters, body, z)
 
-    sec = benchlib.time_chained(_mxu_chain, 2, 12, a0, a0)
+    sec = benchlib.time_chained(_mxu_chain, 4, 64, a0, a0)
     results["peak_bf16_mxu_flop_per_s"] = 2 * DIM**3 / sec
 
     # HBM streaming bandwidth: y = y + x over two HBM-resident arrays
     # (reads 2 arrays + writes 1 per iteration).
     BIG = 64 * 1024 * 1024  # 256 MB per array
-    xb = jnp.zeros((4096, BIG // 4096), dtype=jnp.uint32)
+    # random payload: an all-zeros array can be compressed/deduplicated
+    # (measured above the HBM spec with zeros)
+    xb = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(4096, BIG // 4096), dtype=np.uint64
+                     ).astype(np.uint32))
 
     @jax.jit
     def _stream_chain(y, x, iters):
+        # mul-xor body: z + x repeated is foldable to z + k*x (measured
+        # 2.7 TB/s — above hardware); z*c ^ x is not.
         def body(_, z):
-            return z + x
+            return z * jnp.uint32(2654435761) ^ x
         return jax.lax.fori_loop(0, iters, body, y)
 
-    sec = benchlib.time_chained(_stream_chain, 2, 10, xb, xb)
+    sec = benchlib.time_chained(_stream_chain, 4, 60, xb, xb)
     results["hbm_stream_gb_per_s"] = 3 * BIG * 4 / sec / 1e9
 
     # ---- achieved: framework kernels at set B ----------------------------
@@ -167,7 +178,9 @@ def main() -> int:
             return out[:nd]  # feed a same-shaped slice back
         return jax.lax.fori_loop(0, iters, body, x)
 
-    sec = benchlib.time_chained(_bconv_chain, 2, 16, xd)
+    # the kernel is ~10 us: run enough chained iterations that device time
+    # dominates the multi-ms transport noise.
+    sec = benchlib.time_chained(_bconv_chain, 8, 4000, xd)
     m_out = dt.other_nt.q.shape[0]
     results["bconv_us_per_digit"] = sec * 1e6
     # bf16-plane matmul FLOPs actually issued to the MXU:

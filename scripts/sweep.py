@@ -51,6 +51,16 @@ def run_sweep(sets, ops, levels_arg, iters, out_dir):
         scale = 2.0**29
         if levels_arg == "all":
             levels = list(range(cfg["max_level"], 1, -1))
+        elif levels_arg == "auto":
+            # Justified subset: each distinct level is a distinct XLA
+            # program through the slow remote-compile path, so sample the
+            # sweep at {max, 3/4, 1/2, 1/4, 2} per set (latency is a
+            # smooth, near-affine function of the limb count — the
+            # reference's own per-level cycle curves are piecewise affine).
+            L = cfg["max_level"]
+            levels = sorted({L, 3 * L // 4, L // 2, L // 4, 2}, reverse=True)
+            if set_name == "B":
+                levels = sorted(set(levels) | {35}, reverse=True)  # canonical
         else:
             levels = [l for l in levels_arg if 2 <= l <= cfg["max_level"]]
         os.makedirs(os.path.join(out_dir, set_name), exist_ok=True)
@@ -100,7 +110,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="outLogs")
     args = ap.parse_args()
-    levels = "all" if args.levels == ["all"] else [int(x) for x in args.levels]
+    if args.levels in (["all"], ["auto"]):
+        levels = args.levels[0]
+    else:
+        levels = [int(x) for x in args.levels]
     run_sweep(args.sets, args.ops, levels, args.iters, args.out)
 
 
