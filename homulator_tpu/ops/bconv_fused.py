@@ -11,12 +11,17 @@ graph pays are exactly the traffic its SPM exists to avoid):
   matmul  D_i = sum_k M_{k,i} @ X_k                 (ONE bf16 MXU matmul,
                                                      f32 accumulation —
                                                      exact: |D| < 2^24)
-  horner  out[r] = sum_i D_i[r] 2^(8i) mod q_r      (3 Shoup muls by 256)
+  pairing out[r] = (D_0 + 2^8 D_1) + 2^16 (D_2 + 2^8 D_3) mod q_r
+          — the 2^8 folds are exact uint32 shifts+adds (each half
+          < 257 * 4*nd*255^2 < 8*q_min, wrap-free for nd <= 32); only the 2^16 fold
+          pays a Shoup multiply. ONE modmul instead of the 3 a
+          straight base-256 Horner would need.
 
 The conversion matrix is pre-folded host-side (build_bf16_tables): input
 radix 2^(8k) is multiplied into M mod q_r, so the output recombination is
-single-radix Horner. Exactness: plane entries < 256 are exact in bf16;
-every partial sum < 4*nd*255^2 < 2^24 is exact in f32 (nd <= 64).
+single-radix. Exactness: plane entries < 256 are exact in bf16; every
+partial sum < 4*nd*255^2 < 2^24 is exact in f32 (nd <= 64; the pairing
+epilogue tightens this to nd <= 32, above the largest digit here, 29).
 
 Used for both ModUp digit lifts and ModDown; bit-exact vs the Montgomery
 graph path (tests/test_pallas_kernels.py).
@@ -32,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import shoup_mul
+from .modmath import shoup_mul, shoup_mul_lazy
 
 RADIX_BITS = 8
 RADIX = 1 << RADIX_BITS  # 256
@@ -52,8 +57,13 @@ def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
         for i in range(NPLANES):
             plane = (mk >> np.uint64(RADIX_BITS * i)) & np.uint64(RADIX - 1)
             mbig[i, :, k * nd: (k + 1) * nd] = plane.astype(np.float32)
+    # pairing epilogue wrap-freedom: lo = 257*4*nd*255^2 < 8*q_min = 2^31
+    # -> nd <= 32 (largest digit here is alpha+1 = 29, set A's tail)
+    assert nd <= 32, "pairing epilogue bound (see module docstring)"
+    # Shoup quotient of the single 2^16 recombination multiplier.
     horner_sh = (
-        (np.uint64(RADIX) << np.uint64(32)) // q_rows.astype(np.uint64)
+        (np.uint64(RADIX * RADIX) << np.uint64(32))
+        // q_rows.astype(np.uint64)
     ).astype(np.uint32)
     return (
         jnp.asarray(mbig.reshape(NPLANES * m_out, NPLANES * nd)).astype(
@@ -86,9 +96,18 @@ def _kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
     d = d.astype(jnp.int32).astype(jnp.uint32).reshape(NPLANES, m_out, bn, C)
     q = outq_ref[:][:, :, None]
     hsh = hsh_ref[:][:, :, None]
-    r = d[NPLANES - 1]
-    for i in range(NPLANES - 2, -1, -1):
-        r = shoup_mul(r, RADIX, hsh, q) + d[i]
+    # pairing epilogue: one Shoup multiply (by 2^16) instead of three.
+    lo = d[0] + (d[1] << RADIX_BITS)  # < 8*q_min for nd <= 32
+    hi = d[2] + (d[3] << RADIX_BITS)
+    # Every conditional-subtract multiple must stay <= 4q: 8q exceeds
+    # 2^32 for q > 2^29 and the wrapped compare corrupts results by
+    # 2^32 mod q (caught on-chip). So reduce lo (< 8q for nd <= 32,
+    # q >= 2^28) to [0, 2q) first, then the sum needs only 4q total.
+    q2 = q + q
+    lo = jnp.where(lo >= 4 * q, lo - 4 * q, lo)
+    lo = jnp.where(lo >= q2, lo - q2, lo)
+    r = shoup_mul_lazy(hi, RADIX * RADIX, hsh, q) + lo  # < 4q < 2^32
+    r = jnp.where(r >= q2, r - q2, r)
     o_ref[:] = jnp.where(r >= q, r - q, r)
 
 

@@ -105,3 +105,42 @@ def test_full_hrotate_matches(engines):
     oj = ej.hrotate(c1j, 1)
     op_ = ep.hrotate(c1p, 1)
     assert np.array_equal(np.asarray(oj.data), np.asarray(op_.data))
+
+
+def test_bconv_fused_max_digit_stress():
+    """Range stress at the LARGEST digit this framework builds (nd = 29 =
+    set A's alpha+1 tail) with primes at both ends of the allowed band —
+    guards the pairing epilogue's wrap-freedom bounds (a too-weak bound
+    once corrupted results by 2^32 mod q, on-chip only)."""
+    import jax.numpy as jnp
+
+    from homulator_tpu import numtheory as nt
+    from homulator_tpu.ops.bconv_fused import bconv_fused, build_bf16_tables
+
+    rng = np.random.default_rng(123)
+    n1 = n2 = 16
+    nd, m_out = 29, 8
+    in_q = np.array(nt.gen_ntt_primes(64, nd), dtype=np.uint64)
+    # output primes from the small end of the band (worst lo/q ratio)
+    out_q = np.array(
+        nt.gen_ntt_primes(64, m_out, start_bits=29), dtype=np.uint64)
+    mat = rng.integers(0, out_q.min(), size=(m_out, nd)).astype(np.uint64)
+    s = rng.integers(1, in_q, size=nd).astype(np.uint64)
+    x = np.stack(
+        [rng.integers(0, q, size=(n1, n2), dtype=np.uint64) for q in in_q])
+    bf16, hsh = build_bf16_tables(mat, out_q)
+    s_pl = jnp.asarray(s.astype(np.uint32))
+    s_sh = jnp.asarray(((s << np.uint64(32)) // in_q).astype(np.uint32))
+    out = np.asarray(
+        bconv_fused(
+            jnp.asarray(x.astype(np.uint32)), s_pl, s_sh,
+            jnp.asarray(in_q.astype(np.uint32)), bf16, hsh,
+            jnp.asarray(out_q.astype(np.uint32)), interpret=True,
+        )
+    ).astype(np.uint64)
+    xh = (x * s[:, None, None]) % in_q[:, None, None]
+    for j in range(m_out):
+        acc = np.zeros((n1, n2), dtype=object)
+        for i in range(nd):
+            acc += int(mat[j, i]) * xh[i].astype(object)
+        assert np.array_equal(out[j], (acc % int(out_q[j])).astype(np.uint64)), j
