@@ -39,14 +39,20 @@ def main() -> int:
     from homulator_tpu.params import get_params
 
     n, max_level, level, alpha = 65536, 45, 35, 15
+    t0 = time.perf_counter()
     params = get_params(n=n, max_level=max_level, alpha=alpha)
     eng = CkksEngine(params, seed=1)
+    setup_ctx_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     eng.keygen()
+    keygen_s = time.perf_counter() - t0  # host-side (numpy RefCkks) + upload
 
     scale = 2.0**29
     m = np.zeros(n, dtype=np.int64)
     m[0] = int(7 * scale)
+    t0 = time.perf_counter()
     ct1 = eng.encrypt_ints(m, level, scale)
+    encrypt_s = time.perf_counter() - t0  # host encode+encrypt + upload
     ct2 = eng.encrypt_ints(m, level, scale)
 
     # correctness: one real hmult, decrypt coefficient 0 (expect 49 = 7*7)
@@ -76,6 +82,9 @@ def main() -> int:
         "correct": bool(ok),
         "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
         "cpu_ref_hmult_ms": cpu_ms,
+        "setup_ctx_s": round(setup_ctx_s, 1),
+        "keygen_s": round(keygen_s, 1),
+        "encrypt_s": round(encrypt_s, 2),
     }))
     return 0 if ok else 1
 

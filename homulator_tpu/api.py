@@ -22,7 +22,8 @@ from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
 from .ops.keyswitch import (
     inner_product_moddown, inner_product_pieces, keyswitch,
-    moddown_rescale, modup_all, modup_conv_all,
+    keyswitch_pieces, moddown_pair, moddown_rescale, modup_all,
+    modup_conv_all,
 )
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
@@ -105,7 +106,13 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
     q = main.q[:, None, None]
     r0 = automorph_eval(a[0], perm)
     r1 = automorph_eval(a[1], perm)
-    e0, e1 = keyswitch(r1, rotk_mont, kt)
+    if main.use_pallas:
+        # Accelerated piecewise path (same treatment as hmult's tail): own
+        # digit rows pass through without the concat/iNTT/NTT round trip,
+        # and ModDown never materializes the [alpha+level, N] accumulator.
+        e0, e1 = keyswitch_pieces(r1, rotk_mont, kt)
+    else:
+        e0, e1 = keyswitch(r1, rotk_mont, kt)
     return jnp.stack([modadd(r0, e0, q), e1])
 
 
@@ -139,8 +146,21 @@ def _hrotate_hoisted_graph(a, perms, rotks, kt):
     automorphism commutes with the RNS digit decomposition)."""
     main = kt.main_nt
     q = main.q[:, None, None]
-    ext_digits = modup_all(a[1], kt)
     outs = []
+    if main.use_pallas:
+        # Piecewise hoisting: share one ModUp's conversion outputs; the
+        # automorphism is applied per piece (it commutes row-wise).
+        convs = modup_conv_all(a[1], kt)
+        for perm, rotk in zip(perms, rotks):
+            rot_convs = tuple(automorph_eval(c, perm) for c in convs)
+            r1 = automorph_eval(a[1], perm)
+            acc0, acc1 = inner_product_pieces(rot_convs, r1, rotk, kt)
+            e0 = moddown_pair(acc0, kt)
+            e1 = moddown_pair(acc1, kt)
+            r0 = automorph_eval(a[0], perm)
+            outs.append(jnp.stack([modadd(r0, e0, q), e1]))
+        return jnp.stack(outs)
+    ext_digits = modup_all(a[1], kt)
     for perm, rotk in zip(perms, rotks):
         rot_digits = tuple(automorph_eval(dg, perm) for dg in ext_digits)
         e0, e1 = inner_product_moddown(rot_digits, rotk, kt)

@@ -84,23 +84,36 @@ def _force(x) -> None:
     np.asarray(jax.device_get(x.ravel()[:8]))
 
 
-def time_chained(fn: Callable, k1: int, k2: int, *args, reps: int = 3) -> float:
-    """Seconds per iteration via difference quotient (dynamic trip counts:
-    both k run the same compiled program). Takes the MIN over `reps`
-    repeats — the transport adds multi-ms noise spikes, and min is the
-    right estimator for additive noise."""
-    _force(fn(*args, k1))
-    _force(fn(*args, k2))
+def _min_time(fn, args, k: int, reps: int) -> float:
+    """MIN wall time over `reps` calls of fn(*args, k). The transport adds
+    multi-ms additive noise spikes; min is the right estimator for each
+    endpoint SEPARATELY (min of the difference is biased low — it picks the
+    single most favorable noise draw and reads ~0 for cheap ops)."""
     best = float("inf")
     for _ in range(reps):
-        t1 = time.perf_counter()
-        _force(fn(*args, k1))
-        t1 = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        _force(fn(*args, k2))
-        t2 = time.perf_counter() - t2
-        best = min(best, max(t2 - t1, 1e-9) / (k2 - k1))
+        t = time.perf_counter()
+        _force(fn(*args, k))
+        best = min(best, time.perf_counter() - t)
     return best
+
+
+def time_chained(
+    fn: Callable, k1: int, k2: int, *args, reps: int = 3,
+    min_diff_s: float = 0.05, k2_cap: int = 50_000,
+) -> float:
+    """Seconds per iteration via difference quotient (dynamic trip counts:
+    both k run the same compiled program, so growing k2 never recompiles).
+    k2 is grown adaptively until the endpoint difference is well above the
+    transport noise floor (tens of ms), which the fixed chain lengths of
+    cheap elementwise ops at small N would otherwise drown in."""
+    _force(fn(*args, k1))  # warm / compile
+    while True:
+        t1 = _min_time(fn, args, k1, reps)
+        t2 = _min_time(fn, args, k2, reps)
+        diff = t2 - t1
+        if diff >= min_diff_s or k2 >= k2_cap:
+            return max(diff, 1e-9) / (k2 - k1)
+        k2 = min(k2 * 4, k2_cap)
 
 
 def hmult_seconds(eng, ct1, ct2, k1: int = 4, k2: int = 28) -> float:

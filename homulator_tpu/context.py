@@ -462,14 +462,17 @@ class DeviceContext:
             )
             tail_mat = np.concatenate(
                 [md2_pl[:lm1], p_modq[:lm1, None]], axis=1
-            )  # [lm1, alpha+1]: [P/p_j]_{q_i} cols + [P]_{q_i}
+            )  # [lm1, alpha+2]: [P/p_j]_{q_i} cols, [-P]_{q_i} (centering,
+            # consumed by the explicit v_b row), [P]_{q_i} (the w row)
             t_bf16, t_hsh = build_bf16_tables(tail_mat, qn[:lm1])
+            # input "primes" for identity step1: specials, a placeholder
+            # for the v_b count row (any prime > v works), then q_last.
             in_q = np.concatenate(
-                [sp_qn, np.array([q_last], dtype=np.uint64)]
+                [sp_qn, sp_qn[:1], np.array([q_last], dtype=np.uint64)]
             )
-            one_pl, one_sh = _pair(np.ones(alpha + 1, dtype=np.uint64), in_q)
+            one_pl, one_sh = _pair(np.ones(alpha + 2, dtype=np.uint64), in_q)
             md2l_pl, md2l_sh = _pair(
-                md2_pl[lm1], np.full(alpha, q_last, dtype=np.uint64)
+                md2_pl[lm1], np.full(alpha + 1, q_last, dtype=np.uint64)
             )
             tp_pl, tp_sh = _pair(p_modq, qn[:level])
             tpq_pl, tpq_sh = _pair(pq_inv, qn[:lm1])

@@ -74,18 +74,28 @@ def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
 
 
 def _kernel(x_ref, spl_ref, ssh_ref, inq_ref, mat_ref, hsh_ref, outq_ref,
-            o_ref):
+            o_ref, *, center: bool):
     x = x_ref[:]  # [nd, bn, C] uint32
     nd, bn, C = x.shape
-    xhat = shoup_mul(x, spl_ref[:][:, :, None], ssh_ref[:][:, :, None],
-                     inq_ref[:][:, :, None])
+    inq = inq_ref[:][:, :, None]
+    xhat = shoup_mul(x, spl_ref[:][:, :, None], ssh_ref[:][:, :, None], inq)
+    if center:
+        # Virtual centering row v = #{t : xhat_t >= ceil(q_t/2)}, consumed
+        # by the matrix's final [-Q_in]_{p_j} column: the conversion then
+        # lifts the CENTERED representative (q_t * [Q_in/q_t] = Q_in makes
+        # the per-row correction one shared column). v <= nd < 256 fits
+        # plane 0 exactly.
+        th = (inq >> 1) + 1  # q odd: ceil(q/2)
+        # (int32 sum: Mosaic has no unsigned reductions; v <= nd < 2^31)
+        v = jnp.sum((xhat >= th).astype(jnp.int32), axis=0, keepdims=True)
+        xhat = jnp.concatenate([xhat, v.astype(jnp.uint32)], axis=0)
     planes = [
         ((xhat >> (RADIX_BITS * k)) & (RADIX - 1)).astype(jnp.int32).astype(
             jnp.bfloat16
         )
         for k in range(NPLANES)
     ]
-    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd, bn, C] bf16
+    xbig = jnp.concatenate(planes, axis=0)  # [NPLANES*nd', bn, C] bf16
     # ONE rank-3 contraction per block: [P*m, P*nd] x [P*nd, bn, C].
     d = jax.lax.dot_general(
         mat_ref[:], xbig,
@@ -116,15 +126,19 @@ def _col(v):
     return pl.BlockSpec(v.shape, lambda j: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "center"))
 def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
-                interpret=False):
+                interpret=False, center=False):
     """x: uint32[nd, R, C] coeff-domain tiles; s_*: [nd] step1 Shoup pair;
     in_q: [nd]; mat_bf16/horner_sh: build_bf16_tables output; out_q: [m_out].
     Returns uint32[m_out, R, C] = bconv(x * s) with per-row reduction.
-    The grid tiles the R axis; each grid step converts `bn` row-slices."""
+    The grid tiles the R axis; each grid step converts `bn` row-slices.
+    center=True appends the in-kernel centering row (the matrix must have
+    been built over nd+1 columns, last = [-Q_in]_{p_j})."""
     nd, R, C = x.shape
     m_out = out_q.shape[0]
+    assert mat_bf16.shape[1] == NPLANES * (nd + (1 if center else 0)), (
+        mat_bf16.shape, nd, center)
     bn = 1
     for cand in (32, 16, 8, 4, 2, 1):
         if R % cand == 0 and NPLANES * m_out * cand * C * 4 <= (1 << 23):
@@ -132,7 +146,7 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
             break
     grid = (R // bn,)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, center=center),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nd, bn, C), lambda j: (0, j, 0),

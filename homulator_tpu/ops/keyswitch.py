@@ -43,11 +43,16 @@ def modup_digit(
     ext_q = kt.ext_nt.q
     ext_qinv = kt.ext_nt.qinv
     xhat = bconv_step1(own, dt.step1_mont, in_q, in_qinv)
+    # Centered conversion: virtual row v against the final [-Q_d] column
+    # of the step2 matrix (params.KeySwitchTables.modup_step2).
+    th = ((in_q >> 1) + 1).reshape((-1,) + (1,) * (xhat.ndim - 1))
+    v = jnp.sum((xhat >= th).astype(jnp.uint32), axis=0, keepdims=True)
+    xhat_ext = jnp.concatenate([xhat, v], axis=0)
     other_rows = jnp.concatenate(
         [jnp.arange(0, alpha + lo), jnp.arange(alpha + hi, ext_q.shape[0])]
     )
     conv = bconv_step2(
-        xhat, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
+        xhat_ext, dt.mat_other_mont, ext_q[other_rows], ext_qinv[other_rows]
     )
     # Reassemble: [0 : alpha+lo) converted | own | [alpha+hi :) converted.
     return jnp.concatenate(
@@ -80,7 +85,7 @@ def modup_digit_eval(
     conv = bconv_fused(
         own, dt.step1_pl, dt.step1_sh, kt.main_nt.q[lo:hi],
         dt.mat_bf16, dt.horner_sh, dt.other_nt.q,
-        interpret=kt.ext_nt.interpret,
+        interpret=kt.ext_nt.interpret, center=True,
     )
     conv_eval = ntt(conv, dt.other_nt)
     return jnp.concatenate(
@@ -103,12 +108,15 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
         conv = bconv_fused(
             b, kt.moddown_s1_pl, kt.moddown_s1_sh, sp_q,
             kt.moddown_bf16, kt.moddown_horner_sh, kt.main_nt.q,
-            interpret=kt.main_nt.interpret,
+            interpret=kt.main_nt.interpret, center=True,
         )
     else:
         bhat = bconv_step1(b, kt.moddown_s1_mont, sp_q, sp_qinv)
+        th = ((sp_q >> 1) + 1).reshape((-1,) + (1,) * (bhat.ndim - 1))
+        v = jnp.sum((bhat >= th).astype(jnp.uint32), axis=0, keepdims=True)
         conv = bconv_step2(
-            bhat, kt.moddown_s2_mont, kt.main_nt.q, kt.main_nt.qinv
+            jnp.concatenate([bhat, v], axis=0), kt.moddown_s2_mont,
+            kt.main_nt.q, kt.main_nt.qinv,
         )
     conv_eval = ntt(conv, kt.main_nt)
     mq = kt.main_nt.q[:, None, None]
@@ -117,6 +125,39 @@ def moddown(c_ext: jnp.ndarray, kt: KeySwitchLevelTables) -> jnp.ndarray:
     if kt.main_nt.use_pallas:
         return shoup_mul(diff, kt.pinv_pl[:, None, None], kt.pinv_sh[:, None, None], mq)
     return mont_mul(diff, kt.pinv_mont[:, None, None], mq, mqi)
+
+
+def moddown_pair(acc, kt: KeySwitchLevelTables) -> jnp.ndarray:
+    """ModDown over the split (acc_sp [alpha, N], acc_main [level, N])
+    accumulator pair (inner_product_pieces output) — moddown() without ever
+    concatenating the ext-basis array. Bit-identical to
+    moddown(concat([acc_sp, acc_main]))."""
+    acc_sp, acc_main = acc
+    sp_q = kt.special_nt.q[:, None, None]
+    b = intt(acc_sp, kt.special_nt)  # special limbs to coeff
+    from .bconv_fused import bconv_fused
+
+    conv = bconv_fused(
+        b, kt.moddown_s1_pl, kt.moddown_s1_sh, kt.special_nt.q,
+        kt.moddown_bf16, kt.moddown_horner_sh, kt.main_nt.q,
+        interpret=kt.main_nt.interpret, center=True,
+    )
+    conv_eval = ntt(conv, kt.main_nt)
+    mq = kt.main_nt.q[:, None, None]
+    diff = modsub(acc_main, conv_eval, mq)
+    return shoup_mul(diff, kt.pinv_pl[:, None, None], kt.pinv_sh[:, None, None], mq)
+
+
+def keyswitch_pieces(
+    d_eval: jnp.ndarray, evk_mont, kt: KeySwitchLevelTables
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accelerated key switch (no rescale): piecewise ModUp (own rows pass
+    through, no digit concat) + streaming inner product + concat-free
+    ModDown. Bit-identical to keyswitch(); requires the Pallas/fused-bconv
+    tables (kt.main_nt.use_pallas)."""
+    convs = modup_conv_all(d_eval, kt)
+    acc0, acc1 = inner_product_pieces(convs, d_eval, evk_mont, kt)
+    return moddown_pair(acc0, kt), moddown_pair(acc1, kt)
 
 
 def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
@@ -133,7 +174,7 @@ def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
         conv = bconv_fused(
             c_coeff[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
             kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
-            dt.other_nt.q, interpret=kt.ext_nt.interpret,
+            dt.other_nt.q, interpret=kt.ext_nt.interpret, center=True,
         )
         convs.append(ntt(conv, dt.other_nt))
     return tuple(convs)
@@ -216,11 +257,19 @@ def moddown_rescale(
     bhat = shoup_mul(
         b, kt.moddown_s1_pl[:, None, None], kt.moddown_s1_sh[:, None, None], sp_q
     )
-    # conv row for q_last (coeff domain): sum_j bhat_j * [P/p_j]_{q_last}.
+    # Centered conversion: explicit virtual row v_b (bhat is computed out
+    # here, so the kernel runs with center=False and the [-P]_{q_i} column
+    # of the tail matrix consumes v_b). w stays uncentered — its rescale
+    # bias is sub-ulp at these scales (tone 0.5 * 2N/pi / scale ~ 4e-5).
+    th = ((kt.special_nt.q >> 1) + 1)[:, None, None]
+    v_b = jnp.sum((bhat >= th).astype(jnp.uint32), axis=0, keepdims=True)
+    bhat_ext = jnp.concatenate([bhat, v_b], axis=0)  # [alpha+1, R, C]
+    # conv row for q_last (coeff domain): sum_j bhat_ext_j * [P/p_j]_{q_last}
+    # (the j = alpha term is the centering correction -v_b*P).
     q_last = kt.main_nt.q[level - 1]
-    conv_last = shoup_mul(bhat[0], tt.md2_last_pl[0], tt.md2_last_sh[0], q_last)
-    for j in range(1, alpha):
-        term = shoup_mul(bhat[j], tt.md2_last_pl[j], tt.md2_last_sh[j], q_last)
+    conv_last = shoup_mul(bhat_ext[0], tt.md2_last_pl[0], tt.md2_last_sh[0], q_last)
+    for j in range(1, alpha + 1):
+        term = shoup_mul(bhat_ext[j], tt.md2_last_pl[j], tt.md2_last_sh[j], q_last)
         conv_last = modadd(conv_last, term, q_last)
     # w = Z mod q_last where Z = floor-div(acc, P) + d:
     # (acc_last + P*d_last - conv_last) * P^{-1} mod q_last, in coeff domain.
@@ -238,7 +287,7 @@ def moddown_rescale(
     from .bconv_fused import bconv_fused
 
     conv = bconv_fused(
-        jnp.concatenate([bhat, w[None]], axis=0),
+        jnp.concatenate([bhat_ext, w[None]], axis=0),
         tt.one_pl, tt.one_sh, tt.in_q,
         tt.bf16, tt.horner_sh, tt.out_nt.q,
         interpret=kt.main_nt.interpret,

@@ -47,7 +47,7 @@ from ..context import (
     TailTables,
 )
 from ..ops.automorph import automorph_eval_sharded
-from ..ops.keyswitch import keyswitch
+from ..ops.keyswitch import keyswitch, keyswitch_pieces
 from ..ops.modmath import modadd
 
 
@@ -171,7 +171,10 @@ def _hrotate_body(a, perm, rotk, kt, axis):
     q = kt.main_nt.q[:, None, None]
     r0 = automorph_eval_sharded(a[0], perm, axis)
     r1 = automorph_eval_sharded(a[1], perm, axis)
-    e0, e1 = keyswitch(r1, rotk, kt)
+    if kt.main_nt.use_pallas:
+        e0, e1 = keyswitch_pieces(r1, rotk, kt)
+    else:
+        e0, e1 = keyswitch(r1, rotk, kt)
     return jnp.stack([modadd(r0, e0, q), e1])
 
 

@@ -236,12 +236,22 @@ class KeySwitchTables:
     dnum: int
     # modup_step1[l][d]: [len(S_d)] — [(Q_d(l)/q_i)^{-1}]_{q_i} for i in S_d.
     modup_step1: Dict[Tuple[int, int], np.ndarray]
-    # modup_step2[l][d]: [K, len(S_d)] — [Q_d(l)/q_i]_{p_j} for every basis
-    # prime j (rows for j in S_d are unused by consumers but kept rectangular).
+    # modup_step2[l][d]: [K, len(S_d)+1] — [Q_d(l)/q_i]_{p_j} for every basis
+    # prime j (rows for j in S_d are unused by consumers but kept
+    # rectangular), plus a final CENTERING column [-Q_d]_{p_j}: the
+    # conversion consumes one virtual input row v = #{t : xhat_t >=
+    # ceil(q_t/2)} so the lifted digit is the CENTERED representative
+    # (|value| < (nd+1)*Q_d/2, mean ~0). Without it the uniform-[0, Q_d)
+    # mean adds a rank-one (all-ones x evk-noise) error whose canonical
+    # embedding blows up by 2N/pi at the slots nearest zeta^1 — measured
+    # as a 2^25.7 eval-domain tone at slot 0 vs a 2^15.8 white floor at
+    # N=2^16 (this is why q_t*[Q_d/q_t] = Q_d makes the correction a
+    # single shared column).
     modup_step2: Dict[Tuple[int, int], np.ndarray]
     # moddown_step1: [alpha] — [(P/p_j)^{-1}]_{p_j} for special primes.
     moddown_step1: np.ndarray
-    # moddown_step2: [L, alpha] — [P/p_j]_{q_i} for main primes i.
+    # moddown_step2: [L, alpha+1] — [P/p_j]_{q_i} for main primes i, plus
+    # the centering column [-P]_{q_i} (same construction as modup_step2).
     moddown_step2: np.ndarray
     # pinv_modq: [L] — [P^{-1}]_{q_i}.
     pinv_modq: np.ndarray
@@ -268,10 +278,15 @@ class CkksParams:
         self.num_primes: int = self.max_level + self.alpha  # K
         self.dnum: int = _ceil_div(self.max_level, self.alpha)
         primes = nt.gen_ntt_primes(self.n, self.num_primes)
-        # Basis order: main primes q_0..q_{L-1}, then special primes p_0..p_{a-1}.
-        self.qs: Tuple[int, ...] = primes
-        self.main_qs: Tuple[int, ...] = primes[: self.max_level]
-        self.special_qs: Tuple[int, ...] = primes[self.max_level:]
+        # Basis order: main primes q_0..q_{L-1}, then special primes
+        # p_0..p_{a-1}. gen_ntt_primes descends, and the LARGEST alpha
+        # primes are assigned to the special basis so every digit product
+        # satisfies Q_d <= P — the hybrid key-switch noise scales with
+        # max_d(Q_d)/P, and taking specials from the tail measurably cost
+        # 4x noise at set B (log2(Q_0/P) = +2.0 before, -0.7 after).
+        self.qs: Tuple[int, ...] = primes[self.alpha:] + primes[: self.alpha]
+        self.main_qs: Tuple[int, ...] = self.qs[: self.max_level]
+        self.special_qs: Tuple[int, ...] = self.qs[self.max_level:]
         self.scale: float = float(1 << self.scale_bits)
 
         self.psis: Tuple[int, ...] = tuple(
@@ -309,11 +324,12 @@ class CkksParams:
                 s1 = np.array(
                     [nt.modinv(Qd // q, q) % q for q in digit_qs], dtype=np.uint64
                 )
-                s2 = np.zeros((K, hi - lo), dtype=np.uint64)
+                s2 = np.zeros((K, hi - lo + 1), dtype=np.uint64)
                 for j in range(K):
                     pj = self.qs[j]
                     for t, qi in enumerate(digit_qs):
                         s2[j, t] = (Qd // qi) % pj
+                    s2[j, hi - lo] = (-Qd) % pj  # centering column
                 modup_step1[(level, d)] = s1
                 modup_step2[(level, d)] = s2
 
@@ -321,12 +337,13 @@ class CkksParams:
         moddown_step1 = np.array(
             [nt.modinv(P // p, p) % p for p in self.special_qs], dtype=np.uint64
         )
-        moddown_step2 = np.zeros((L, a), dtype=np.uint64)
+        moddown_step2 = np.zeros((L, a + 1), dtype=np.uint64)
         pinv_modq = np.zeros(L, dtype=np.uint64)
         for i in range(L):
             qi = self.qs[i]
             for j, pj in enumerate(self.special_qs):
                 moddown_step2[i, j] = (P // pj) % qi
+            moddown_step2[i, a] = (-P) % qi  # centering column
             pinv_modq[i] = nt.modinv(P % qi, qi)
         return KeySwitchTables(
             alpha=a, dnum=self.dnum,

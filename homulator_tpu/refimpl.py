@@ -352,16 +352,24 @@ class RefCkks:
         s1 = p.ks.modup_step1[(level, d)][:, None]
         digit_idx = np.arange(lo, hi)
         xhat = self.modmul(digit, s1, digit_idx)  # [nd, N]
+        # Centered conversion: virtual row v = #{t : xhat_t >= ceil(q_t/2)}
+        # consumed by the [-Q_d]_{p_j} column of modup_step2 (see
+        # params.KeySwitchTables) — the lifted representative is centered,
+        # killing the slot-0 canonical-embedding tone of the [0, Q_d) mean.
+        th = np.array([(int(q) + 1) // 2 for q in p.q_arr[digit_idx]],
+                      dtype=np.uint64)[:, None]
+        v = np.sum(xhat >= th, axis=0).astype(np.uint64)
+        xhat_ext = np.concatenate([xhat, v[None]], axis=0)  # [nd+1, N]
         out = np.zeros((K_out, p.n), dtype=np.uint64)
-        M = p.ks.modup_step2[(level, d)]  # [K, nd]
+        M = p.ks.modup_step2[(level, d)]  # [K, nd+1]
         for row, j in enumerate(ext_idx):
             if lo <= j < hi:
                 out[row] = digit[j - lo]
             else:
                 qj = self.p.qs[j]
                 acc = np.zeros(p.n, dtype=np.uint64)
-                for t in range(hi - lo):
-                    acc = (acc + xhat[t] * M[j, t]) % qj
+                for t in range(hi - lo + 1):
+                    acc = (acc + xhat_ext[t] * M[j, t]) % qj
                 out[row] = acc
         return out
 
@@ -371,13 +379,19 @@ class RefCkks:
         sp_idx = self.special_idx()
         B = self.intt(c_ext[level:], sp_idx)  # special part, coeff
         bhat = self.modmul(B, p.ks.moddown_step1[:, None], sp_idx)
+        # Centered conversion (see modup): v row against the [-P]_{q_i}
+        # column of moddown_step2.
+        th = np.array([(int(q) + 1) // 2 for q in p.q_arr[sp_idx]],
+                      dtype=np.uint64)[:, None]
+        v = np.sum(bhat >= th, axis=0).astype(np.uint64)
+        bhat_ext = np.concatenate([bhat, v[None]], axis=0)  # [alpha+1, N]
         main_idx = self.main_idx(level)
         conv = np.zeros((level, p.n), dtype=np.uint64)
         for i in range(level):
             qi = p.qs[i]
             acc = np.zeros(p.n, dtype=np.uint64)
-            for j in range(p.alpha):
-                acc = (acc + bhat[j] * p.ks.moddown_step2[i, j]) % qi
+            for j in range(p.alpha + 1):
+                acc = (acc + bhat_ext[j] * p.ks.moddown_step2[i, j]) % qi
             conv[i] = acc
         conv_eval = self.ntt(conv, main_idx)
         diff = self.modsub(c_ext[:level], conv_eval, main_idx)

@@ -200,3 +200,98 @@ class TestExtendedOps:
         assert a.level == b.level == l - 2
         dec = eng.decrypt_bigint(eng.hadd(a, b), count=1)
         assert abs(dec[0] / SCALE - 18) < 0.001
+
+
+class TestCenteredConversion:
+    """Regression tests for the centered base conversion.
+
+    Non-centered ModUp digits (uniform [0, Q_d)) add a rank-one
+    (all-ones x evk-noise) term whose canonical embedding is amplified
+    ~2N/pi at the slot evaluating nearest zeta^1 — slot 0 picked up an
+    input-independent O(0.1) error at N=2^16 (caught by the CLI
+    decrypt-verify, round 2). Centering (the virtual-row [-Q_d] column)
+    removes the mean, so the keyswitch noise spectrum must be flat.
+    """
+
+    def test_modup_lifts_centered_representative(self, small_params):
+        from homulator_tpu.refimpl import RefCkks
+
+        p = small_params
+        ref = RefCkks(p, seed=3)
+        ref.keygen()
+        level = p.max_level
+        rng = np.random.default_rng(3)
+        c = np.stack([
+            rng.integers(0, int(q), p.n, dtype=np.uint64)
+            for q in p.q_arr[:level]
+        ])
+        import math
+        for d in range(p.beta(level)):
+            lo, hi = p.digit_range(level, d)
+            Qd = math.prod(p.qs[lo:hi])
+            nd = hi - lo
+            out = ref.modup(c, level, d)  # [K_ext, N] (mains then specials)
+            ext_idx = ref.ext_idx(level)
+            other = [r for r, j in enumerate(ext_idx) if not (lo <= j < hi)]
+            oqs = [int(p.qs[ext_idx[r]]) for r in other]
+            # CRT over the other rows reconstructs the lifted integer
+            # (|value| < (nd+1)*Qd/2 << prod of other primes).
+            M = math.prod(oqs)
+            crt = [(M // q) * pow((M // q) % q, -1, q) % M for q in oqs]
+            for j in rng.integers(0, p.n, size=4):
+                val = sum(int(out[r, j]) * crt[i]
+                          for i, r in enumerate(other)) % M
+                if val > M // 2:
+                    val -= M
+                # centered: |val| <= (nd+1)*Qd/2, and val == digit mod Qd
+                assert abs(val) <= (nd + 1) * Qd // 2 + 1
+                x = 0
+                digit_qs = p.qs[lo:hi]
+                Qd_crt = [
+                    (Qd // q) * pow((Qd // q) % q, -1, q) % Qd
+                    for q in digit_qs
+                ]
+                x = sum(int(c[lo + t, j]) * Qd_crt[t]
+                        for t in range(nd)) % Qd
+                assert val % Qd == x
+
+    def test_keyswitch_noise_spectrum_flat(self):
+        """The eval-domain noise spectrum of a key switch has no slot-0
+        tone (ratio of the e=+-1 tone to the median eval energy stays
+        O(1); it was ~300x before centering)."""
+        from homulator_tpu.params import get_params
+        from homulator_tpu.refimpl import RefCkks
+
+        p = get_params(n=2048, max_level=6, alpha=2)
+        ref = RefCkks(p, seed=1)
+        ref.keygen()
+        level = 3
+        main = ref.main_idx(level)
+        rng = np.random.default_rng(7)
+        t = np.stack([
+            rng.integers(0, int(q), p.n, dtype=np.uint64)
+            for q in p.q_arr[main]
+        ])
+        key = ref._gen_kskey(ref.s_eval)  # switch s -> s
+        e0, e1 = ref.keyswitch(t, key, level)
+        want = ref.modmul(t, ref.s_eval[main], main)
+        got = ref.modadd(
+            e0, ref.modmul(e1, ref.s_eval[main], main), main)
+        Q = p.q_prod(level)
+        crt = [(Q // int(q)) * pow((Q // int(q)) % int(q), -1, int(q)) % Q
+               for q in p.qs[:level]]
+        diff = ref.modsub(got, want, main)
+        dcoef = ref.intt(diff, main)
+        d = np.array([
+            float(x - Q) if (x := sum(int(dcoef[i, j]) * crt[i]
+                                      for i in range(level)) % Q) > Q // 2
+            else float(x)
+            for j in range(p.n)
+        ])
+        a = np.zeros(2 * p.n, complex)
+        a[:p.n] = d
+        ev = np.fft.ifft(a) * 2 * p.n
+        mag = np.abs(ev[1::2])
+        tone = mag[0]
+        med = np.median(mag)
+        assert tone < 12 * med, (tone, med)
