@@ -68,7 +68,7 @@ def chain_modup_bconv(x, kt, iters):
             conv = bconv_fused(
                 carry[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
                 kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
-                dt.other_nt.q,
+                dt.other_nt.q, center=True,
             )[-L:]
             acc = conv if acc is None else modadd(acc, conv, kt.main_nt.q[:, None, None])
         return acc
