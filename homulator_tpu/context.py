@@ -279,12 +279,23 @@ class DeviceContext:
             )
 
         def _expand(stages, n):
-            """[K, n, log2(n)]: column s = per-row block twiddle at stage s."""
+            """[K, n, log2(n)]: column s = per-row block twiddle at stage s.
+
+            Columns of the H < 8 stages are pre-permuted into the kernel's
+            row-bit-swapped order (ntt_pallas._swap_rows_fwd: row hi*8+lo
+            -> lo*(n/8)+hi) when n >= 64, so those stages run as sliced
+            butterflies at H' = H*(n/8) with zero in-kernel table work."""
             logn = n.bit_length() - 1
             out = np.zeros((K, n, logn), dtype=np.uint32)
             r = np.arange(n)
+            g = n // 8
             for s, arr in enumerate(stages):
-                out[:, :, s] = np.asarray(arr, dtype=np.uint64)[:, r >> (logn - s)]
+                a64 = np.asarray(arr, dtype=np.uint64)
+                if n >= 64 and (n >> (s + 1)) < 8:
+                    rp = (r % g) * 8 + (r // g)  # orig row at swapped pos
+                    out[:, :, s] = a64[:, rp >> (logn - s)]
+                else:
+                    out[:, :, s] = a64[:, r >> (logn - s)]
             return out
 
         # Pallas-kernel (Shoup) tables: plain-domain twiddles + quotients.

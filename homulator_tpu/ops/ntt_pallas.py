@@ -42,6 +42,25 @@ from .modmath import shoup_mul_lazy3
 _MIN_SLICE_H = 8  # sublane tile for uint32; below this, slices relayout
 
 
+def _swap_rows_fwd(a: jnp.ndarray) -> jnp.ndarray:
+    """Exchange row-bit roles: row hi*8 + lo -> lo*(n/8) + hi.
+
+    The three H < 8 stages pair rows within a sublane tile, which forces
+    the Shoup multiply over the FULL tile plus two sublane rolls per
+    stage (2.8x the cost of a sliced stage, measured). After this swap
+    those stages pair at H' = H*(n/8) >= 8 and run in the cheap sliced
+    form; one swap costs ~0.08 us over the copy floor at [256, 256]."""
+    n, m = a.shape
+    g = n // 8
+    return a.reshape(g, 8, m).swapaxes(0, 1).reshape(n, m)
+
+
+def _swap_rows_inv(a: jnp.ndarray) -> jnp.ndarray:
+    n, m = a.shape
+    g = n // 8
+    return a.reshape(8, g, m).swapaxes(0, 1).reshape(n, m)
+
+
 def _roll_rows(a: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
     if interpret:
         return jnp.roll(a, shift, axis=0)
@@ -112,33 +131,62 @@ def _gs_stage_roll(a, w_col, wsh_col, H, q, interpret):
     return jnp.where(first, _csub(a + p, q3), s1)
 
 
+def _use_swap(n: int) -> bool:
+    """Row-bit swap applies when the swapped fine stages are themselves
+    sliceable: H' = H*(n/8) >= 8 for H = 1 requires n >= 64. The twiddle
+    tables for the fine stages are pre-permuted host-side under the SAME
+    condition (context.DeviceContext._expand)."""
+    return n >= 8 * _MIN_SLICE_H
+
+
 def _ct_stages_val(a, w_cols, wsh_cols, q, interpret):
     """CT butterflies: a [n, m]; w_cols/wsh_cols [n, log2(n)] Shoup pairs."""
     n = a.shape[0]
     logn = n.bit_length() - 1
+    swapped = False
     for s in range(logn):
         H = n >> (s + 1)
         w = w_cols[:, s: s + 1]
         wsh = wsh_cols[:, s: s + 1]
         if H >= _MIN_SLICE_H:
             a = _ct_stage_slice(a, w, wsh, H, q)
+        elif _use_swap(n):
+            if not swapped:
+                a = _swap_rows_fwd(a)
+                swapped = True
+            a = _ct_stage_slice(a, w, wsh, H * (n // 8), q)
         else:
             a = _ct_stage_roll(a, w, wsh, H, q, interpret)
+    if swapped:
+        a = _swap_rows_inv(a)
     return a
 
 
 def _gs_stages_val(a, w_cols, wsh_cols, q, interpret):
-    """GS inverse butterflies (no 1/n factor; folded into the mid table)."""
+    """GS inverse butterflies (no 1/n factor; folded into the mid table).
+    The fine (H < 8) stages come FIRST here, so the row swap happens at
+    entry and unwinds when the first sliced stage is reached."""
     n = a.shape[0]
     logn = n.bit_length() - 1
+    swapped = False
     for s in range(logn - 1, -1, -1):
         H = n >> (s + 1)
         w = w_cols[:, s: s + 1]
         wsh = wsh_cols[:, s: s + 1]
         if H >= _MIN_SLICE_H:
+            if swapped:
+                a = _swap_rows_inv(a)
+                swapped = False
             a = _gs_stage_slice(a, w, wsh, H, q)
+        elif _use_swap(n):
+            if not swapped:
+                a = _swap_rows_fwd(a)
+                swapped = True
+            a = _gs_stage_slice(a, w, wsh, H * (n // 8), q)
         else:
             a = _gs_stage_roll(a, w, wsh, H, q, interpret)
+    if swapped:
+        a = _swap_rows_inv(a)
     return a
 
 
