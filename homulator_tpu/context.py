@@ -212,7 +212,8 @@ class KeySwitchLevelTables:
     moddown_s1_mont: jnp.ndarray  # [alpha]
     moddown_s1_pl: jnp.ndarray
     moddown_s1_sh: jnp.ndarray
-    moddown_s2_mont: jnp.ndarray  # [level, alpha] (jnp path)
+    moddown_s2_mont: jnp.ndarray  # [level, alpha+1] (jnp path; last col =
+    # the [-P]_{q_i} centering column consumed by the virtual row)
     moddown_bf16: jnp.ndarray  # bf16 plane table (fused MXU kernel path)
     moddown_horner_sh: jnp.ndarray  # [level] Horner Shoup quotients
     pinv_mont: jnp.ndarray  # [level]
@@ -420,7 +421,8 @@ class DeviceContext:
             lo, hi = p.digit_range(level, d)
             s1 = _to_mont_np(p.ks.modup_step1[(level, d)], qn[lo:hi])
             s1_pl, s1_sh = _pair(p.ks.modup_step1[(level, d)], qn[lo:hi])
-            full_mat = p.ks.modup_step2[(level, d)]  # [K, nd]
+            full_mat = p.ks.modup_step2[(level, d)]  # [K, nd+1] (last col =
+            # [-Q_d]_{p_j}, the centering column)
             other_rows = tuple(j for j in ext if not (lo <= j < hi))
             if pallas:
                 # Other rows only: own rows pass through in eval domain

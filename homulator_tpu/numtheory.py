@@ -18,9 +18,10 @@ idiomatic mapping onto 32-bit TPU vector lanes. Concretely (generated
 primes average 29.30 effective bits at N=2^16): the reference's set-B
 workload `hmult 45 35 15` models a 36*45 = 1620-bit main / 1260-bit live /
 540-bit special modulus, which this framework matches with L=56, level=43,
-alpha=19 (dnum stays 3). Both settings are benchmarked —
-scripts/bench_parity36.py, results in BENCH_NOTES.md — so the headline
-number exists at the reference's limb counts AND at its modulus magnitude.
+alpha=19 (dnum stays 3). `scripts/bench_parity36.py` measures hmult at the
+matched shape and writes PARITY36.json (see BENCH_NOTES.md "Bit-width
+parity"), so the headline number exists at the reference's limb counts AND
+at its modulus magnitude.
 """
 
 from __future__ import annotations

@@ -174,7 +174,7 @@ def main() -> int:
         def body(_, y):
             out = bconv_fused(y, dt.step1_pl, dt.step1_sh,
                               kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16,
-                              dt.horner_sh, dt.other_nt.q)
+                              dt.horner_sh, dt.other_nt.q, center=True)
             return out[:nd]  # feed a same-shaped slice back
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -183,8 +183,9 @@ def main() -> int:
     sec = benchlib.time_chained(_bconv_chain, 8, 4000, xd)
     m_out = dt.other_nt.q.shape[0]
     results["bconv_us_per_digit"] = sec * 1e6
-    # bf16-plane matmul FLOPs actually issued to the MXU:
-    results["bconv_mxu_flop_per_s"] = 2 * (4 * m_out) * (4 * nd) * n / sec
+    # bf16-plane matmul FLOPs actually issued to the MXU (the centered
+    # conversion adds one input column for the virtual centering row):
+    results["bconv_mxu_flop_per_s"] = 2 * (4 * m_out) * (4 * (nd + 1)) * n / sec
     results["bconv_pct_of_mxu_peak"] = (
         100 * results["bconv_mxu_flop_per_s"]
         / results["peak_bf16_mxu_flop_per_s"])
