@@ -21,9 +21,9 @@ import numpy as np
 from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
 from .ops.keyswitch import (
-    inner_product_moddown, inner_product_pieces, keyswitch,
-    keyswitch_pieces, moddown_pair, moddown_rescale, modup_all,
-    modup_conv_all,
+    hpip_acc, inner_product_moddown, inner_product_pieces, keyswitch,
+    keyswitch_fused, keyswitch_pieces, moddown_pair, moddown_rescale,
+    modup_all, modup_conv_all, modup_convs_coeff,
 )
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
@@ -65,6 +65,14 @@ def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
     path the ModDown + add + Rescale of each component run as ONE fused
     division by P*q_last (ops/keyswitch.moddown_rescale — bit-identical)."""
     q = kt.main_nt.q[:, None, None]
+    alpha = kt.special_nt.q.shape[0]
+    if kt.tail is not None and kt.main_nt.shard_axis is None:
+        # Single-chip fast path: fused ModUp-NTT + evk inner product
+        # (the HPIP kernel), then the fused moddown+rescale tails.
+        acc = hpip_acc(modup_convs_coeff(d2, kt), d2, evk_mont, kt)
+        r0 = moddown_rescale((acc[0, :alpha], acc[0, alpha:]), d0, kt)
+        r1 = moddown_rescale((acc[1, :alpha], acc[1, alpha:]), d1, kt)
+        return jnp.stack([r0, r1])
     if kt.tail is not None:
         convs = modup_conv_all(d2, kt)
         acc0, acc1 = inner_product_pieces(convs, d2, evk_mont, kt)
@@ -106,10 +114,13 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
     q = main.q[:, None, None]
     r0 = automorph_eval(a[0], perm)
     r1 = automorph_eval(a[1], perm)
-    if main.use_pallas:
-        # Accelerated piecewise path (same treatment as hmult's tail): own
-        # digit rows pass through without the concat/iNTT/NTT round trip,
-        # and ModDown never materializes the [alpha+level, N] accumulator.
+    if main.use_pallas and main.shard_axis is None:
+        # Single-chip fast path: fused ModUp-NTT + evk inner product (the
+        # HPIP kernel); own digit rows pass through without the
+        # concat/iNTT/NTT round trip, and ModDown never materializes the
+        # [alpha+level, N] accumulator.
+        e0, e1 = keyswitch_fused(r1, rotk_mont, kt)
+    elif main.use_pallas:
         e0, e1 = keyswitch_pieces(r1, rotk_mont, kt)
     else:
         e0, e1 = keyswitch(r1, rotk_mont, kt)

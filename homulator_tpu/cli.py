@@ -61,19 +61,35 @@ def run_op(args) -> int:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(shape=(1, n_mesh), n_devices=n_mesh)
-    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}"
-          + (f" mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}" if mesh else ""))
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}")
     print(f"# N={rc.n} op={rc.op} maxLevel={rc.max_level} level={rc.level} "
           f"alpha={rc.alpha}")
 
     stats = Statistic()
     params = get_params(rc.n, rc.max_level, rc.alpha, rc.scale_bits)
+    # Mesh dispatch (the reference's cluster knob scales its real dispatch,
+    # bench_micro24.cpp:23-25, Driver.h:158): when the coefficient tile
+    # divides the cluster count and the op carries a key switch, use the
+    # PERFORMANCE path — shard_map over a ('data','coeff') mesh running the
+    # per-shard Pallas kernels with explicit ICI collectives
+    # (parallel/sharded.make_shardmap_*); otherwise fall back to the
+    # GSPMD-partitioned jnp graph.
+    t_n1, t_n2 = params.ntt.n1, params.ntt.n2
+    use_shardmap = (
+        mesh is not None and rc.op in ("hmult", "hrotate")
+        and t_n1 % n_mesh == 0 and t_n2 % n_mesh == 0
+        and t_n2 // n_mesh >= 8  # per-shard tiles must stay kernel-shaped
+    )
     with stats.timer("setup/engine"):
-        # Under a mesh the jnp graph path is used: GSPMD partitions it from
-        # the input shardings (the shard_map+Pallas path is per-shape; the
-        # CLI keeps the general path).
-        eng = CkksEngine(params, seed=args.seed,
-                         ntt_mode="jnp" if mesh else "auto")
+        if use_shardmap:
+            # Pallas kernels per shard: interpret mode on CPU backends.
+            mode = "pallas" if jax.default_backend() == "tpu" else "interpret"
+        elif mesh is not None:
+            # GSPMD partitions the jnp graph from the input shardings.
+            mode = "jnp"
+        else:
+            mode = "auto"
+        eng = CkksEngine(params, seed=args.seed, ntt_mode=mode)
     with stats.timer("setup/keygen"):
         eng.keygen()
 
@@ -87,13 +103,43 @@ def run_op(args) -> int:
         ct2 = eng.encrypt_complex(v2, rc.level, scale)
         pt2 = eng.plaintext_complex(v2, rc.level, scale)
 
-    if mesh is not None:
+    shardmap_fn = None
+    if use_shardmap:
+        import dataclasses as _dc
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import make_mesh as _mk
+        from .parallel.sharded import ici_bytes_per_op, make_shardmap_hmult, \
+            make_shardmap_hrotate
+
+        mesh = _mk(shape=(1, n_mesh), n_devices=n_mesh,
+                   axis_names=("data", "coeff"))
+        ct_sh = NamedSharding(mesh, P(None, None, None, "coeff"))
+        key_sh = NamedSharding(mesh, P(None, None, None, None, "coeff"))
+        ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
+        ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
+        if rc.op == "hmult":
+            eng.relin_key = jax.device_put(eng.relin_key, key_sh)
+            shardmap_fn = make_shardmap_hmult(eng.dc, rc.level, mesh)
+        else:
+            eng.gen_rotation_key(1)
+            eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
+            shardmap_fn = make_shardmap_hrotate(eng.dc, rc.level, mesh)
+        ici = ici_bytes_per_op(params, rc.level, n_mesh, rc.op)
+        stats.set("ICI_bytes_per_device", ici)
+        print(f"# dispatch=shard_map+pallas mesh=(1 data, {n_mesh} coeff) "
+              f"ici_bytes_per_device={ici} "
+              f"({ici / 1e6:.1f} MB over the interTrans/AUTO collectives)")
+    elif mesh is not None:
         # Limb-shard operands and keys over the mesh (the reference's
         # limb-per-cluster dispatch, Driver.h:158); jitted op graphs
         # propagate the shardings and GSPMD inserts the collectives.
         import dataclasses as _dc
 
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        print(f"# dispatch=gspmd mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
         if rc.level % n_mesh == 0:
             ct_sh = NamedSharding(mesh, P(None, "limb", None, None))
@@ -116,6 +162,18 @@ def run_op(args) -> int:
             eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
 
     def op_once():
+        if shardmap_fn is not None:
+            from .context import Ciphertext
+
+            if rc.op == "hmult":
+                data = shardmap_fn(ct1.data, ct2.data, eng.relin_key)
+                return Ciphertext(
+                    data, rc.level - 1,
+                    ct1.scale * ct2.scale / params.qs[rc.level - 1],
+                )
+            perm = eng.dc.automorph_perm(params.galois_elt(1))
+            data = shardmap_fn(ct1.data, perm, eng.rot_keys[1])
+            return Ciphertext(data, rc.level, ct1.scale)
         if rc.op == "hmult":
             return eng.hmult(ct1, ct2)
         if rc.op == "hadd":
@@ -156,8 +214,12 @@ def run_op(args) -> int:
     stats.set("batchCount", rc.n // 256)  # reference batch granularity
 
     # Measured executable counters (reference Statistic parity: HBM beats,
-    # SPM word traffic, per-unit busy work — Staistics.h:30-36).
+    # SPM word traffic, per-unit busy work — Staistics.h:30-36). The
+    # shard_map path reports ICI volume instead (the compile here would be
+    # of the single-chip graph, not what ran).
     try:
+        if use_shardmap:
+            raise RuntimeError("shard_map path: see ICI_bytes_per_device")
         cc = eng.op_cost_counters(rc.op, ct1, ct2, pt2)
         for k, v in cc.items():
             stats.set(k, v)

@@ -160,24 +160,64 @@ def keyswitch_pieces(
     return moddown_pair(acc0, kt), moddown_pair(acc1, kt)
 
 
+def modup_convs_coeff(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
+    """Accelerated-path ModUp conversions, COEFF domain: per digit, the
+    converted OTHER rows ([m_other, n1, n2], ext order minus own rows),
+    before any NTT. Own rows never appear (exact eval-domain passthrough
+    in the consumers)."""
+    c_coeff = intt(d_eval, kt.main_nt)
+    from .bconv_fused import bconv_fused
+
+    return tuple(
+        bconv_fused(
+            c_coeff[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
+            kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
+            dt.other_nt.q, interpret=kt.ext_nt.interpret, center=True,
+        )
+        for dt in kt.digits
+    )
+
+
 def modup_conv_all(d_eval: jnp.ndarray, kt: KeySwitchLevelTables):
     """Accelerated-path ModUp WITHOUT digit assembly: per digit, only the
     converted OTHER rows ([m_other, N] eval, ext order minus own rows).
     Own rows are d_eval itself (exact passthrough); the inner product
     consumes the pieces directly (inner_product_pieces), so no [K_ext, N]
     concat is ever materialized."""
-    c_coeff = intt(d_eval, kt.main_nt)
-    from .bconv_fused import bconv_fused
+    convs = modup_convs_coeff(d_eval, kt)
+    return tuple(
+        ntt(conv, dt.other_nt) for conv, dt in zip(convs, kt.digits)
+    )
 
-    convs = []
-    for dt in kt.digits:
-        conv = bconv_fused(
-            c_coeff[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh,
-            kt.main_nt.q[dt.lo:dt.hi], dt.mat_bf16, dt.horner_sh,
-            dt.other_nt.q, interpret=kt.ext_nt.interpret, center=True,
-        )
-        convs.append(ntt(conv, dt.other_nt))
-    return tuple(convs)
+
+def hpip_acc(convs, d_eval: jnp.ndarray, evk_mont, kt: KeySwitchLevelTables):
+    """Fused ModUp-NTT + evk inner product (ops/hpip_pallas.py): convs are
+    the COEFF-domain conversion pieces (modup_convs_coeff); returns
+    acc uint32[2, K_ext, n2, n1] in [0, q). Single-chip layout only
+    (kt.main_nt.shard_axis is None) — the sharded path phase-splits the
+    NTT around an all_to_all instead."""
+    from .hpip_pallas import hpip_fused
+
+    nt = kt.ext_nt
+    return hpip_fused(
+        convs, d_eval, evk_mont, nt.q, nt.qinv, nt.pfwd,
+        alpha=kt.special_nt.q.shape[0],
+        spans=tuple((dt.lo, dt.hi) for dt in kt.digits),
+        n1=nt.n1, n2=nt.n2, interpret=nt.interpret,
+    )
+
+
+def keyswitch_fused(
+    d_eval: jnp.ndarray, evk_mont, kt: KeySwitchLevelTables
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accelerated single-chip key switch (no rescale) through the fused
+    HPIP kernel. Bit-identical to keyswitch_pieces / keyswitch."""
+    acc = hpip_acc(modup_convs_coeff(d_eval, kt), d_eval, evk_mont, kt)
+    alpha = kt.special_nt.q.shape[0]
+    return (
+        moddown_pair((acc[0, :alpha], acc[0, alpha:]), kt),
+        moddown_pair((acc[1, :alpha], acc[1, alpha:]), kt),
+    )
 
 
 def inner_product_pieces(

@@ -77,6 +77,61 @@ def test_bconv_kernels_match(engines):
     assert np.array_equal(ref, out_mxu)
 
 
+def test_hpip_fused_matches_pieces(engines):
+    """Fused ModUp-NTT + inner-product kernel (hpip_pallas) == the
+    piecewise eval-domain path (modup_conv_all + inner_product_pieces),
+    bit-exact, including the specials/main accumulator split."""
+    from homulator_tpu.ops.keyswitch import (
+        hpip_acc, inner_product_pieces, modup_conv_all, modup_convs_coeff,
+    )
+
+    _, ep = engines
+    p = ep.params
+    rng = np.random.default_rng(5)
+    level = p.max_level  # 6: digits (0,2), (2,4), (4,6)
+    kt = ep.dc.keyswitch_tables(level)
+    t = p.ntt
+    d_eval = jnp.asarray(
+        random_limbs(p, np.arange(level), rng)
+        .astype(np.uint32).reshape(level, t.n2, t.n1)
+    )
+    evk = ep.relin_key
+    acc = np.asarray(hpip_acc(modup_convs_coeff(d_eval, kt), d_eval, evk, kt))
+    pieces = inner_product_pieces(modup_conv_all(d_eval, kt), d_eval, evk, kt)
+    alpha = p.alpha
+    for k in (0, 1):
+        sp, main = pieces[k]
+        assert np.array_equal(acc[k, :alpha], np.asarray(sp)), k
+        assert np.array_equal(acc[k, alpha:], np.asarray(main)), k
+
+
+def test_hpip_fused_partial_digit(engines):
+    """Same check at a level where the last digit is partial (level 5,
+    alpha 2 -> digit spans (0,2) (2,4) (4,5))."""
+    from homulator_tpu.ops.keyswitch import (
+        hpip_acc, inner_product_pieces, modup_conv_all, modup_convs_coeff,
+    )
+
+    _, ep = engines
+    p = ep.params
+    rng = np.random.default_rng(6)
+    level = 5
+    kt = ep.dc.keyswitch_tables(level)
+    t = p.ntt
+    d_eval = jnp.asarray(
+        random_limbs(p, np.arange(level), rng)
+        .astype(np.uint32).reshape(level, t.n2, t.n1)
+    )
+    evk = ep.relin_key
+    acc = np.asarray(hpip_acc(modup_convs_coeff(d_eval, kt), d_eval, evk, kt))
+    pieces = inner_product_pieces(modup_conv_all(d_eval, kt), d_eval, evk, kt)
+    alpha = p.alpha
+    for k in (0, 1):
+        sp, main = pieces[k]
+        assert np.array_equal(acc[k, :alpha], np.asarray(sp)), k
+        assert np.array_equal(acc[k, alpha:], np.asarray(main)), k
+
+
 def test_full_hmult_matches(engines):
     """Whole hmult through Pallas kernels == jnp graph, bit-exact."""
     ej, ep = engines
