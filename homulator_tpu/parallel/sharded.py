@@ -204,11 +204,15 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
     """EXACT per-device ICI receive volume (bytes) of one shard_map op at
     `level` over an ns-way 'coeff' axis — counted from the collective
     schedule of the graph, the analog of the reference's NoC_Mem_Chip
-    counter (src/mem.cpp:95).
+    counter (src/mem.cpp:95). Reconciled against the collectives in the
+    lowered HLO by tests/test_sharding.py (ici_bytes_from_lowered).
 
-    Each limb-transform's inter-transpose all_to_all receives
-    (ns-1)/ns * N * 4 bytes; each automorphism all_gather receives
-    (ns-1) * local_bytes = (ns-1)/ns * level * N * 4.
+    Each limb-transform's inter-transpose all_to_all exchanges a device's
+    1/ns shard: the device keeps 1/ns of its local N/ns elements and
+    receives the rest — (ns-1)/ns * (N/ns) * 4 bytes. Each automorphism
+    all_gather receives (ns-1) * local_bytes = (ns-1)/ns * level * N * 4.
+    (A round-1..2 version of this function reported the all-device total,
+    ns x the per-device receive — caught by the HLO reconciliation.)
     """
     alpha = params.alpha
     n = params.n
@@ -228,9 +232,40 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
         gathers = 2
     else:
         raise ValueError(op)
-    per_tf = (ns - 1) * n * 4 // ns
+    per_tf = (ns - 1) * n * 4 // (ns * ns)
     per_gather = (ns - 1) * level * n * 4 // ns
     return transforms * per_tf + gathers * per_gather
+
+
+def ici_bytes_from_lowered(hlo_text: str, ns: int) -> int:
+    """Per-device ICI receive bytes counted from the collectives of a
+    LOWERED shard_map program (jit(f).lower(...).as_text()). The shapes
+    inside the manual computation are per-device local shards, so:
+
+      all_to_all: receives (ns-1)/ns of the local operand
+      all_gather: receives (ns-1) x the local operand
+
+    Used to pin ici_bytes_per_op against the real collective schedule —
+    drift in the graph breaks the reconciliation test instead of silently
+    invalidating the published ICI numbers.
+    """
+    import re
+
+    pat = re.compile(
+        r'stablehlo\.(all_to_all|all_gather)"?.*?:\s*\(tensor<([^>]+)>\)')
+    total = 0
+    for m in pat.finditer(hlo_text):
+        kind, shape = m.group(1), m.group(2)
+        dims = shape.split("x")
+        elems = 1
+        for d in dims[:-1]:
+            elems *= int(d)
+        nbytes = elems * 4  # ui32
+        if kind == "all_to_all":
+            total += nbytes * (ns - 1) // ns
+        else:
+            total += nbytes * (ns - 1)
+    return total
 
 
 # --------------------------------------------------------------------------

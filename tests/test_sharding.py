@@ -224,3 +224,32 @@ def test_coeff_sharded_ntt_matches_single_chip():
     assert np.array_equal(sharded, expected)
     back = np.asarray(intt_fn(jnp.asarray(sharded)))
     assert np.array_equal(back, x.reshape(4, n1, n2))
+
+
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_ici_bytes_reconcile_with_hlo(pallas_engine, op):
+    """ici_bytes_per_op == bytes counted over the all_to_all/all_gather
+    collectives of the LOWERED shard_map program — drift in the collective
+    schedule breaks this instead of silently invalidating published ICI
+    numbers (the analog of the reference's NoC_Mem_Chip counter,
+    src/mem.cpp:95)."""
+    from homulator_tpu.parallel.sharded import (
+        ici_bytes_from_lowered, ici_bytes_per_op,
+    )
+
+    eng = pallas_engine
+    level = 8
+    ns = 4
+    mesh = make_mesh(shape=(1, ns), n_devices=ns, axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=21)[0]
+    if op == "hmult":
+        f = make_shardmap_hmult(eng.dc, level, mesh)
+        lowered = jax.jit(f).lower(a, a, eng.relin_key)
+    else:
+        eng.gen_rotation_key(1)
+        perm = eng.dc.automorph_perm(eng.params.galois_elt(1))
+        f = make_shardmap_hrotate(eng.dc, level, mesh)
+        lowered = jax.jit(f).lower(a, perm, eng.rot_keys[1])
+    measured = ici_bytes_from_lowered(lowered.as_text(), ns)
+    analytic = ici_bytes_per_op(eng.params, level, ns, op)
+    assert measured == analytic, (op, measured, analytic)
