@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..context import KeySwitchLevelTables
 from .bconv import bconv_step1, bconv_step2
 from .modmath import (
-    lazy_sum_reduce, modadd, modsub, mont_mul, mont_mul_lazy, shoup_mul,
+    lazy_sum_reduce, lazy_tree_sum, modadd, modsub, mont_mul, mont_mul_lazy,
+    shoup_mul, shoup_mul_lazy,
 )
 from .ntt import intt, ntt
 
@@ -305,12 +306,15 @@ def moddown_rescale(
     v_b = jnp.sum((bhat >= th).astype(jnp.uint32), axis=0, keepdims=True)
     bhat_ext = jnp.concatenate([bhat, v_b], axis=0)  # [alpha+1, R, C]
     # conv row for q_last (coeff domain): sum_j bhat_ext_j * [P/p_j]_{q_last}
-    # (the j = alpha term is the centering correction -v_b*P).
+    # (the j = alpha term is the centering correction -v_b*P). One batched
+    # lazy Shoup multiply + a log-depth tree sum — not a sequential chain
+    # of alpha tiny adds (each a separate dispatch).
     q_last = kt.main_nt.q[level - 1]
-    conv_last = shoup_mul(bhat_ext[0], tt.md2_last_pl[0], tt.md2_last_sh[0], q_last)
-    for j in range(1, alpha + 1):
-        term = shoup_mul(bhat_ext[j], tt.md2_last_pl[j], tt.md2_last_sh[j], q_last)
-        conv_last = modadd(conv_last, term, q_last)
+    terms = shoup_mul_lazy(
+        bhat_ext, tt.md2_last_pl[:, None, None], tt.md2_last_sh[:, None, None],
+        q_last,
+    )
+    conv_last = lazy_tree_sum(terms, q_last)
     # w = Z mod q_last where Z = floor-div(acc, P) + d:
     # (acc_last + P*d_last - conv_last) * P^{-1} mod q_last, in coeff domain.
     zl_eval = modadd(

@@ -114,6 +114,25 @@ def lazy_sum_reduce(terms, q) -> jnp.ndarray:
     return acc
 
 
+def lazy_tree_sum(terms: jnp.ndarray, q) -> jnp.ndarray:
+    """Reduce axis 0 of terms (each row in [0, 2q)) to a single [0, q) row.
+
+    Log-depth pairwise tree: combine(a, b) = cond_sub(a + b, 2q) keeps every
+    partial in [0, 2q) (sums < 4q < 2**32 under numtheory.PRIME_CAP), so
+    each level is ONE batched add + ONE conditional subtract over the whole
+    remaining array — XLA-friendly, unlike a sequential chain of M tiny
+    adds (the per-op dispatch of which dominated the fused-tail phase)."""
+    q2 = q + q
+    while terms.shape[0] > 1:
+        m = terms.shape[0]
+        half = m // 2
+        folded = cond_sub(terms[:half] + terms[half: 2 * half], q2)
+        if m % 2:
+            folded = jnp.concatenate([folded, terms[2 * half:]], axis=0)
+        terms = folded
+    return cond_sub(terms[0], q)
+
+
 def mulhi32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """High 32 bits of a*b."""
     return mul32(a, b)[0]
