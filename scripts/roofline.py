@@ -17,9 +17,18 @@ per-dispatch timing unreliable):
   ACHIEVED (framework kernels at the canonical set-B workload):
     ntt        Pallas 4-step NTT kernel, modmul/s and HBM GB/s
     bconv      fused bf16-plane base-conversion kernel, MXU FLOP/s
+               (+ a matmul-only variant isolating the VPU epilogue share)
     hmult      whole hmult(45,35,15), modmul/s (analytic count / latency)
 
-Prints a table + one JSON line; writes ROOFLINE.json at the repo root.
+  DERIVED (static instruction counts, see NTT_OPS_* below):
+    ntt issue-slot ceiling — the NTT butterfly is NOT a pure modmul
+    stream: per element it issues adds/subtracts/compare-selects the
+    "percent of Shoup peak" metric does not credit. The ceiling scales
+    the measured Shoup-chain throughput by the instruction-count ratio.
+
+Every measured metric is sampled --reps times (default 5); ROOFLINE.json
+stores value (=min, the least-noise estimator for a chained-loop
+quotient), med and max per metric.
 """
 
 import functools
@@ -32,7 +41,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# Static instruction counts for the derived NTT issue-slot ceiling.
+# Counting rule: one VPU vector instruction per elementwise op (mul, add,
+# sub, shift, mask, compare, select, copy); per-row constant preparation
+# (twiddle hi/lo splits on [n,1] columns) excluded in BOTH counts, so the
+# Shoup-chain normalizer and the kernel count are like for like.
+#
+# shoup_mul (the peak chain's primitive):
+#   mulhi32 exact: a-split 2, muls 4 (ll,lh,hl,hh), mid add 1, carry cmp 1,
+#   lo shl+add 2, carry cmp 1, hi shr+shl+3 adds 5            = 16
+#   r = a*w - hi*q: 2 muls + 1 sub                            =  3
+#   conditional subtract: cmp + sub + select                  =  3
+OPS_SHOUP_FULL = 22
+# Pallas NTT kernel, per element (ops/ntt_pallas.py):
+#   per sliced CT stage, per butterfly PAIR:
+#     u csub(3q) 3; shoup_mul_lazy3 = approx-mulhi 11 + mullo/mullo/sub 3;
+#     u+v 1; u-v+3q 2                                          = 20 /pair
+#   -> 10 per element x 16 stages                              = 160
+#   mid twiddle shoup_mul_lazy3                                =  14
+#   exit reduction csub x3                                     =   9
+#   row-bit swap (fwd+inv) + transpose copies                  =   3
+NTT_OPS_PER_ELEM = 186
+
+
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5,
+                    help="samples per measured metric (min/med/max stored)")
+    reps_n = ap.parse_args().reps
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -88,15 +127,26 @@ def main() -> int:
             return y
         return jax.lax.fori_loop(0, iters, body, x)
 
-    def rate(fn, *args, k1=8, k2=200):
+    def sample_secs(fn):
+        """reps_n samples of a seconds-valued measurement: (min, med, max)."""
+        vals = sorted(fn() for _ in range(reps_n))
+        return vals[0], vals[len(vals) // 2], vals[-1]
+
+    def put(name, best, med, worst):
+        results[name] = best
+        results[name + "_med"] = med
+        results[name + "_worst"] = worst
+
+    def rate(name, fn, *args, k1=8, k2=200):
         # one loop iteration is ~0.1-1 ms of device time; run hundreds so
         # the difference quotient clears the multi-ms transport noise.
-        sec = benchlib.time_chained(fn, k1, k2, *args)
-        return ELEMS * S / sec
+        lo, med, hi = sample_secs(
+            lambda: benchlib.time_chained(fn, k1, k2, *args))
+        put(name, ELEMS * S / lo, ELEMS * S / med, ELEMS * S / hi)
 
-    results["peak_u32_mul_per_s"] = rate(_u32_mul_chain, x0)
-    results["peak_shoup_modmul_per_s"] = rate(_shoup_chain, x0)
-    results["peak_mont_modmul_per_s"] = rate(_mont_chain, x0)
+    rate("peak_u32_mul_per_s", _u32_mul_chain, x0)
+    rate("peak_shoup_modmul_per_s", _shoup_chain, x0)
+    rate("peak_mont_modmul_per_s", _mont_chain, x0)
 
     # bf16 MXU peak: chained square matmul, bf16 accumulate-to-bf16 chain.
     DIM = 4096
@@ -110,8 +160,10 @@ def main() -> int:
             return (y * 1e-4).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, iters, body, z)
 
-    sec = benchlib.time_chained(_mxu_chain, 4, 64, a0, a0)
-    results["peak_bf16_mxu_flop_per_s"] = 2 * DIM**3 / sec
+    lo, med, hi = sample_secs(
+        lambda: benchlib.time_chained(_mxu_chain, 4, 64, a0, a0))
+    put("peak_bf16_mxu_flop_per_s", 2 * DIM**3 / lo, 2 * DIM**3 / med,
+        2 * DIM**3 / hi)
 
     # HBM streaming bandwidth: y = y + x over two HBM-resident arrays
     # (reads 2 arrays + writes 1 per iteration).
@@ -130,8 +182,10 @@ def main() -> int:
             return z * jnp.uint32(2654435761) ^ x
         return jax.lax.fori_loop(0, iters, body, y)
 
-    sec = benchlib.time_chained(_stream_chain, 4, 60, xb, xb)
-    results["hbm_stream_gb_per_s"] = 3 * BIG * 4 / sec / 1e9
+    lo, med, hi = sample_secs(
+        lambda: benchlib.time_chained(_stream_chain, 4, 60, xb, xb))
+    put("hbm_stream_gb_per_s", 3 * BIG * 4 / lo / 1e9,
+        3 * BIG * 4 / med / 1e9, 3 * BIG * 4 / hi / 1e9)
 
     # ---- achieved: framework kernels at set B ----------------------------
     n, max_level, level, alpha = 65536, 45, 35, 15
@@ -148,9 +202,11 @@ def main() -> int:
     # + n mid twiddles.
     logn = n.bit_length() - 1
     ntt_modmul = logn * (n // 2) + n
-    pair_sec = benchlib.ntt_pair_seconds(eng, ct1.data[0], level)
-    per_tf = pair_sec / (2 * level)
-    results["ntt_us_per_limb_transform"] = per_tf * 1e6
+    lo, med, hi = sample_secs(
+        lambda: benchlib.ntt_pair_seconds(eng, ct1.data[0], level))
+    per_tf = lo / (2 * level)
+    put("ntt_us_per_limb_transform", per_tf * 1e6, med / (2 * level) * 1e6,
+        hi / (2 * level) * 1e6)
     results["ntt_achieved_modmul_per_s"] = ntt_modmul / per_tf
     results["ntt_pct_of_shoup_peak"] = (
         100 * results["ntt_achieved_modmul_per_s"]
@@ -159,6 +215,22 @@ def main() -> int:
     results["ntt_hbm_gb_per_s"] = 2 * n * 4 / per_tf / 1e9
     results["ntt_pct_of_hbm_peak"] = (
         100 * results["ntt_hbm_gb_per_s"] / results["hbm_stream_gb_per_s"])
+
+    # Derived issue-slot ceiling (see NTT_OPS_PER_ELEM): the butterfly
+    # network issues NTT_OPS_PER_ELEM vector instructions per element
+    # against OPS_SHOUP_FULL per modmul in the peak chain, so the fastest
+    # the kernel could run — if it sustained the same vector-issue rate
+    # the Shoup chain does — is
+    #     n * NTT_OPS_PER_ELEM / (OPS_SHOUP_FULL * peak_shoup)  seconds.
+    # This credits the adds/subs/compare-selects the pct_of_shoup_peak
+    # metric ignores. Caveat (stated in BENCH_NOTES): the chain is pure
+    # back-to-back ALU with zero data movement; the kernel also pays
+    # VMEM loads/stores between stages, so this ceiling is OPTIMISTIC.
+    issue_rate = OPS_SHOUP_FULL * results["peak_shoup_modmul_per_s"]
+    ceiling_s = n * NTT_OPS_PER_ELEM / issue_rate
+    results["ntt_ops_per_elem"] = NTT_OPS_PER_ELEM
+    results["ntt_issue_ceiling_us"] = ceiling_s * 1e6
+    results["ntt_pct_of_issue_ceiling"] = 100 * ceiling_s / per_tf
 
     # Fused bconv kernel: set-B ModUp digit-0 shape (nd=15 -> 35 other rows).
     from homulator_tpu.ops.bconv_fused import bconv_fused
@@ -180,9 +252,11 @@ def main() -> int:
 
     # the kernel is ~10 us: run enough chained iterations that device time
     # dominates the multi-ms transport noise.
-    sec = benchlib.time_chained(_bconv_chain, 8, 4000, xd)
+    lo, med, hi = sample_secs(
+        lambda: benchlib.time_chained(_bconv_chain, 8, 4000, xd))
+    sec = lo
     m_out = dt.other_nt.q.shape[0]
-    results["bconv_us_per_digit"] = sec * 1e6
+    put("bconv_us_per_digit", lo * 1e6, med * 1e6, hi * 1e6)
     # bf16-plane matmul FLOPs actually issued to the MXU (the centered
     # conversion adds one input column for the virtual centering row):
     results["bconv_mxu_flop_per_s"] = 2 * (4 * m_out) * (4 * (nd + 1)) * n / sec
@@ -191,8 +265,66 @@ def main() -> int:
         / results["peak_bf16_mxu_flop_per_s"])
     results["bconv_modmul_equiv_per_s"] = m_out * nd * n / sec
 
+    # Anatomy: the same shapes through a planes+matmul-ONLY kernel (no
+    # step1, no pairing epilogue) — isolates what the VPU epilogue and
+    # step1 cost on top of the MXU contraction, answering whether bigger
+    # batched matmul shapes could raise bconv_pct_of_mxu_peak or the VPU
+    # work is the true bound.
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    mat = dt.mat_bf16
+    PN = mat.shape[1]  # 4*(nd+1)
+
+    def _mm_kernel(x_ref, mat_ref, o_ref):
+        x = x_ref[:]  # [nd+1, bn, C] uint32 (pre-padded with a zero row)
+        planes = [((x >> (8 * k)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
+                  for k in range(4)]
+        xbig = jnp.concatenate(planes, axis=0)
+        d_ = jax.lax.dot_general(
+            mat_ref[:], xbig, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = d_.astype(jnp.int32).astype(jnp.uint32)[: o_ref.shape[0]]
+
+    ndp = nd + 1
+
+    @jax.jit
+    def _mm_chain(xp, iters):
+        R, C = xp.shape[1], xp.shape[2]
+        bn = 8
+
+        def body(_, y):
+            out = pl.pallas_call(
+                _mm_kernel,
+                grid=(R // bn,),
+                in_specs=[
+                    pl.BlockSpec((ndp, bn, C), lambda j: (0, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(mat.shape, lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((m_out, bn, C), lambda j: (0, j, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m_out, R, C), jnp.uint32),
+            )(y, mat)
+            return out[:ndp]
+
+        return jax.lax.fori_loop(0, iters, body, xp)
+
+    xdp = jnp.concatenate(
+        [xd, jnp.zeros((1,) + tuple(xd.shape[1:]), jnp.uint32)], axis=0)
+    lo, med, hi = sample_secs(
+        lambda: benchlib.time_chained(_mm_chain, 8, 4000, xdp))
+    put("bconv_matmul_only_us", lo * 1e6, med * 1e6, hi * 1e6)
+    results["bconv_epilogue_share_pct"] = (
+        100 * (results["bconv_us_per_digit"] - results["bconv_matmul_only_us"])
+        / results["bconv_us_per_digit"])
+
     # Whole hmult.
-    hm_sec = benchlib.hmult_seconds(eng, ct1, ct2)
+    lo, med, hi = sample_secs(lambda: benchlib.hmult_seconds(eng, ct1, ct2))
+    hm_sec = lo
+    put("hmult_ms_sampled", lo * 1e3, med * 1e3, hi * 1e3)
     total_modmul = op_modmul_count("hmult", n, level, alpha,
                                    params.beta(level))
     results["hmult_ms"] = hm_sec * 1e3

@@ -8,7 +8,7 @@ writing one JSON line per run to outLogs/<set>/<op>.jsonl.
 
 Each distinct level is a distinct XLA program; first runs pay compilation
 (cached on disk under .jax_cache), so default sweeps sample a level subset.
-Use --levels all for the full reference grid.
+Use --levels all for the full reference grid (paraA/micro24_A_hmult.sh:13-16).
 
 Usage: python scripts/sweep.py [--sets A B] [--ops hmult hadd] [--levels 35 20 10 2]
 """
@@ -64,42 +64,55 @@ def run_sweep(sets, ops, levels_arg, iters, out_dir):
         else:
             levels = [l for l in levels_arg if 2 <= l <= cfg["max_level"]]
         os.makedirs(os.path.join(out_dir, set_name), exist_ok=True)
-        for op in ops:
-            path = os.path.join(out_dir, set_name, f"{op}.jsonl")
-            with open(path, "a") as f:
+
+        def measure(op, level):
+            m = np.zeros(params.n, dtype=np.int64)
+            m[0] = int(3 * scale)
+            ct1 = eng.encrypt_ints(m, level, scale)
+            ct2 = eng.encrypt_ints(m, level, scale)
+            pt = eng.plaintext_ints(m, level, 1.0)
+            t0 = time.perf_counter()
+            # Every op is timed as a chained on-device loop (benchlib):
+            # the tunnel's per-dispatch latency cancels in the quotient.
+            if op == "hmult":
+                sec = benchlib.hmult_seconds(eng, ct1, ct2)
+            elif op == "hrotate":
+                sec = benchlib.hrotate_seconds(eng, ct1, 1)
+            elif op == "hadd":
+                sec = benchlib.hadd_seconds(eng, ct1, ct2)
+            elif op == "pmult":
+                sec = benchlib.pmult_seconds(eng, ct1, pt)
+            elif op == "padd":
+                sec = benchlib.padd_seconds(eng, ct1, pt)
+            else:
+                raise SystemExit(f"unknown op {op}")
+            rec = {
+                "set": set_name, "op": op, "n": params.n,
+                "max_level": cfg["max_level"], "level": level,
+                "alpha": cfg["alpha"],
+                "latency_ms": round(1e3 * sec, 4),
+                "setup_s": round(time.perf_counter() - t0, 1),
+                "backend": jax.default_backend(),
+            }
+            with open(os.path.join(out_dir, set_name, f"{op}.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+
+        if levels_arg == "all":
+            # LEVEL-major: all ops at one level share the level's device
+            # tables, then the caches are dropped — each level's
+            # NTT/keyswitch tables are ~100+ MB of HBM and 40+ cached
+            # levels would not fit.
+            for level in levels:
+                for op in ops:
+                    measure(op, level)
+                eng.dc._nt_cache.clear()
+                eng.dc._ks_cache.clear()
+                eng.dc._rs_cache.clear()
+        else:
+            for op in ops:
                 for level in levels:
-                    m = np.zeros(params.n, dtype=np.int64)
-                    m[0] = int(3 * scale)
-                    ct1 = eng.encrypt_ints(m, level, scale)
-                    ct2 = eng.encrypt_ints(m, level, scale)
-                    pt = eng.plaintext_ints(m, level, 1.0)
-                    t_compile = time.perf_counter()
-                    # Every op is timed as a chained on-device loop
-                    # (benchlib): the tunnel's per-dispatch latency cancels
-                    # in the difference quotient.
-                    if op == "hmult":
-                        sec = benchlib.hmult_seconds(eng, ct1, ct2)
-                    elif op == "hrotate":
-                        sec = benchlib.hrotate_seconds(eng, ct1, 1)
-                    elif op == "hadd":
-                        sec = benchlib.hadd_seconds(eng, ct1, ct2)
-                    elif op == "pmult":
-                        sec = benchlib.pmult_seconds(eng, ct1, pt)
-                    elif op == "padd":
-                        sec = benchlib.padd_seconds(eng, ct1, pt)
-                    else:
-                        raise SystemExit(f"unknown op {op}")
-                    rec = {
-                        "set": set_name, "op": op, "n": params.n,
-                        "max_level": cfg["max_level"], "level": level,
-                        "alpha": cfg["alpha"],
-                        "latency_ms": round(1e3 * sec, 4),
-                        "setup_s": round(time.perf_counter() - t_compile, 1),
-                        "backend": jax.default_backend(),
-                    }
-                    f.write(json.dumps(rec) + "\n")
-                    f.flush()
-                    print(json.dumps(rec), flush=True)
+                    measure(op, level)
 
 
 def main():
