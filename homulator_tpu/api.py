@@ -23,7 +23,7 @@ from .ops.automorph import automorph_eval
 from .ops.keyswitch import (
     hpip_acc, inner_product_moddown, inner_product_pieces, keyswitch,
     keyswitch_fused, keyswitch_pieces, moddown_pair, moddown_rescale,
-    modup_all, modup_conv_all, modup_convs_coeff,
+    moddown_rescale2, modup_all, modup_conv_all, modup_convs_coeff,
 )
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
 from .ops.ntt import intt, ntt
@@ -31,6 +31,14 @@ from .ops.rescale import rescale_poly
 from .params import CkksParams
 from .refimpl import RefCkks, RefPlaintext
 from .stats import Statistic, op_modmul_count
+
+
+# Route key switches through the fused ModUp-NTT+inner-product Pallas
+# kernel (ops/hpip_pallas.py) instead of the piecewise path. Off by
+# default: bit-exact but measured slower on v5e (BENCH_NOTES "HPIP
+# bake-off" — both halves are VPU-bound, so the fusion's DMA savings
+# don't pay for Mosaic's slower Montgomery codegen).
+USE_FUSED_HPIP = False
 
 
 # --------------------------------------------------------------------------
@@ -66,13 +74,26 @@ def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
     division by P*q_last (ops/keyswitch.moddown_rescale — bit-identical)."""
     q = kt.main_nt.q[:, None, None]
     alpha = kt.special_nt.q.shape[0]
-    if kt.tail is not None and kt.main_nt.shard_axis is None:
-        # Single-chip fast path: fused ModUp-NTT + evk inner product
-        # (the HPIP kernel), then the fused moddown+rescale tails.
+    if USE_FUSED_HPIP and kt.tail is not None and kt.main_nt.shard_axis is None:
+        # Fused ModUp-NTT + evk inner product (the HPIP kernel), then the
+        # fused moddown+rescale tails. Bit-exact but measured SLOWER than
+        # the pieces path on v5e (0.78 ms vs 0.57 ms for the NTT+IP slice:
+        # both halves are VPU-bound so fusing them buys no overlap, and
+        # Mosaic runs the Montgomery products ~2.3x slower than XLA's
+        # fusion of the same math — BENCH_NOTES "HPIP bake-off"), so
+        # routing keeps the pieces path; flip USE_FUSED_HPIP on hardware
+        # where the evk stream, not the VPU, is the binding resource.
         acc = hpip_acc(modup_convs_coeff(d2, kt), d2, evk_mont, kt)
-        r0 = moddown_rescale((acc[0, :alpha], acc[0, alpha:]), d0, kt)
-        r1 = moddown_rescale((acc[1, :alpha], acc[1, alpha:]), d1, kt)
-        return jnp.stack([r0, r1])
+        return moddown_rescale2(
+            (acc[0, :alpha], acc[0, alpha:]),
+            (acc[1, :alpha], acc[1, alpha:]), d0, d1, kt,
+        )
+    if kt.tail is not None and kt.main_nt.shard_axis is None:
+        convs = modup_conv_all(d2, kt)
+        acc0, acc1 = inner_product_pieces(convs, d2, evk_mont, kt)
+        # Both tails batched: one rep=2 kernel grid per NTT stage and one
+        # batched elementwise chain (ops/keyswitch.moddown_rescale2).
+        return moddown_rescale2(acc0, acc1, d0, d1, kt)
     if kt.tail is not None:
         convs = modup_conv_all(d2, kt)
         acc0, acc1 = inner_product_pieces(convs, d2, evk_mont, kt)
@@ -114,13 +135,14 @@ def _hrotate_graph(a, perm, rotk_mont, kt):
     q = main.q[:, None, None]
     r0 = automorph_eval(a[0], perm)
     r1 = automorph_eval(a[1], perm)
-    if main.use_pallas and main.shard_axis is None:
-        # Single-chip fast path: fused ModUp-NTT + evk inner product (the
-        # HPIP kernel); own digit rows pass through without the
-        # concat/iNTT/NTT round trip, and ModDown never materializes the
-        # [alpha+level, N] accumulator.
+    if USE_FUSED_HPIP and main.use_pallas and main.shard_axis is None:
+        # Fused HPIP kernel path (see _keyswitch_rescale_tail for why it
+        # is off by default on v5e).
         e0, e1 = keyswitch_fused(r1, rotk_mont, kt)
     elif main.use_pallas:
+        # Accelerated piecewise path: own digit rows pass through without
+        # the concat/iNTT/NTT round trip, and ModDown never materializes
+        # the [alpha+level, N] accumulator.
         e0, e1 = keyswitch_pieces(r1, rotk_mont, kt)
     else:
         e0, e1 = keyswitch(r1, rotk_mont, kt)

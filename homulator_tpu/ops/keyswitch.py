@@ -27,7 +27,7 @@ from .modmath import (
     lazy_sum_reduce, lazy_tree_sum, modadd, modsub, mont_mul, mont_mul_lazy,
     shoup_mul, shoup_mul_lazy,
 )
-from .ntt import intt, ntt
+from .ntt import intt, intt_rep, ntt, ntt_rep
 
 
 def modup_digit(
@@ -149,15 +149,50 @@ def moddown_pair(acc, kt: KeySwitchLevelTables) -> jnp.ndarray:
     return shoup_mul(diff, kt.pinv_pl[:, None, None], kt.pinv_sh[:, None, None], mq)
 
 
+def moddown_pair2(acc0, acc1, kt: KeySwitchLevelTables) -> jnp.ndarray:
+    """Both key components' concat-free ModDown in ONE batched pass
+    (single-chip: rep=2 kernel grids share the basis tables via i % M).
+    Bit-identical to (moddown_pair(acc0), moddown_pair(acc1)); returns
+    the stacked [2, level, n2, n1] result."""
+    alpha = kt.special_nt.q.shape[0]
+    level = kt.level
+    b = intt_rep(
+        jnp.concatenate([acc0[0], acc1[0]], axis=0), kt.special_nt, 2
+    )  # [2a, n1, n2], k-major
+    from .bconv_fused import bconv_fused
+
+    convs = [
+        bconv_fused(
+            b[k * alpha: (k + 1) * alpha], kt.moddown_s1_pl,
+            kt.moddown_s1_sh, kt.special_nt.q,
+            kt.moddown_bf16, kt.moddown_horner_sh, kt.main_nt.q,
+            interpret=kt.main_nt.interpret, center=True,
+        )
+        for k in (0, 1)
+    ]
+    ce = ntt_rep(jnp.concatenate(convs, axis=0), kt.main_nt, 2)
+    conv_eval = ce.reshape(2, level, ce.shape[1], ce.shape[2])
+    mq = kt.main_nt.q[None, :, None, None]
+    diff = modsub(jnp.stack([acc0[1], acc1[1]]), conv_eval, mq)
+    return shoup_mul(
+        diff, kt.pinv_pl[None, :, None, None],
+        kt.pinv_sh[None, :, None, None], mq,
+    )
+
+
 def keyswitch_pieces(
     d_eval: jnp.ndarray, evk_mont, kt: KeySwitchLevelTables
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Accelerated key switch (no rescale): piecewise ModUp (own rows pass
     through, no digit concat) + streaming inner product + concat-free
-    ModDown. Bit-identical to keyswitch(); requires the Pallas/fused-bconv
-    tables (kt.main_nt.use_pallas)."""
+    ModDown (both keys batched on a single chip). Bit-identical to
+    keyswitch(); requires the Pallas/fused-bconv tables
+    (kt.main_nt.use_pallas)."""
     convs = modup_conv_all(d_eval, kt)
     acc0, acc1 = inner_product_pieces(convs, d_eval, evk_mont, kt)
+    if kt.main_nt.shard_axis is None:
+        out = moddown_pair2(acc0, acc1, kt)
+        return out[0], out[1]
     return moddown_pair(acc0, kt), moddown_pair(acc1, kt)
 
 
@@ -346,6 +381,75 @@ def moddown_rescale(
     )
     return shoup_mul(
         modsub(z, e, oq), tt.pq_inv_pl[:, None, None], tt.pq_inv_sh[:, None, None], oq
+    )
+
+
+def moddown_rescale2(acc0, acc1, d0, d1, kt: KeySwitchLevelTables):
+    """Both key components' fused ModDown + relin add + Rescale tails in
+    ONE batched pass: the specials iNTT, the dropped-limb iNTT and the
+    output NTT broadcast each run as a single rep=2 kernel grid (table
+    slabs shared via i % M), and every elementwise stage is one batched
+    op over [2, ...] instead of two dispatch chains. Bit-identical to
+    (moddown_rescale(acc0, d0), moddown_rescale(acc1, d1)); returns the
+    stacked [2, level-1, n2, n1] result directly."""
+    tt = kt.tail
+    level = kt.level
+    alpha = kt.special_nt.q.shape[0]
+    sp_q2 = kt.special_nt.q[None, :, None, None]
+    acc_sp = jnp.concatenate([acc0[0], acc1[0]], axis=0)  # [2a, n2, n1]
+    b = intt_rep(acc_sp, kt.special_nt, 2)  # [2a, n1, n2], k-major
+    sh = b.shape
+    b = b.reshape(2, alpha, sh[1], sh[2])
+    bhat = shoup_mul(
+        b, kt.moddown_s1_pl[None, :, None, None],
+        kt.moddown_s1_sh[None, :, None, None], sp_q2,
+    )
+    th = ((kt.special_nt.q >> 1) + 1)[None, :, None, None]
+    v_b = jnp.sum((bhat >= th).astype(jnp.uint32), axis=1, keepdims=True)
+    bhat_ext = jnp.concatenate([bhat, v_b], axis=1)  # [2, a+1, R, C]
+    q_last = kt.main_nt.q[level - 1]
+    terms = shoup_mul_lazy(
+        bhat_ext, tt.md2_last_pl[None, :, None, None],
+        tt.md2_last_sh[None, :, None, None], q_last,
+    )
+    conv_last = lazy_tree_sum(terms.swapaxes(0, 1), q_last)  # [2, R, C]
+    acc_main = jnp.stack([acc0[1], acc1[1]])  # [2, level, n2, n1]
+    dd = jnp.stack([d0, d1])
+    zl_eval = modadd(
+        acc_main[:, level - 1],
+        shoup_mul(dd[:, level - 1], tt.p_pl[level - 1], tt.p_sh[level - 1],
+                  q_last),
+        q_last,
+    )
+    zl_coeff = intt_rep(zl_eval, tt.last_nt, 2)  # [2, n1, n2]
+    w = shoup_mul(
+        modsub(zl_coeff, conv_last, q_last),
+        kt.pinv_pl[level - 1], kt.pinv_sh[level - 1], q_last,
+    )
+    from .bconv_fused import bconv_fused
+
+    lm1 = level - 1
+    convs = [
+        bconv_fused(
+            jnp.concatenate([bhat_ext[k], w[k][None]], axis=0),
+            tt.one_pl, tt.one_sh, tt.in_q,
+            tt.bf16, tt.horner_sh, tt.out_nt.q,
+            interpret=kt.main_nt.interpret,
+        )
+        for k in (0, 1)
+    ]
+    e = ntt_rep(jnp.concatenate(convs, axis=0), tt.out_nt, 2)
+    e = e.reshape(2, lm1, e.shape[1], e.shape[2])
+    oq = tt.out_nt.q[None, :, None, None]
+    z = modadd(
+        acc_main[:, :lm1],
+        shoup_mul(dd[:, :lm1], tt.p_pl[None, :lm1, None, None],
+                  tt.p_sh[None, :lm1, None, None], oq),
+        oq,
+    )
+    return shoup_mul(
+        modsub(z, e, oq), tt.pq_inv_pl[None, :, None, None],
+        tt.pq_inv_sh[None, :, None, None], oq,
     )
 
 

@@ -154,6 +154,35 @@ def ntt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
     return y
 
 
+def ntt_rep(x: jnp.ndarray, nb: NttBasis, rep: int) -> jnp.ndarray:
+    """Transform rep stacked arrays over the SAME basis in one kernel grid:
+    x [rep*M, n1, n2] -> [rep*M, n2, n1] (no table duplication — slabs
+    index i % M). Single-chip batching helper (e.g. both key components
+    of a ModDown); the sharded/jnp paths fall back to per-copy calls."""
+    if rep == 1 or nb.shard_axis is not None or not nb.use_pallas:
+        M = x.shape[0] // rep
+        return jnp.concatenate(
+            [ntt(x[k * M: (k + 1) * M], nb) for k in range(rep)], axis=0
+        ) if rep > 1 else ntt(x, nb)
+    from .ntt_pallas import ntt_pallas
+
+    return ntt_pallas(x, nb.q, nb.pfwd, n1=nb.n1, n2=nb.n2,
+                      interpret=nb.interpret, rep=rep)
+
+
+def intt_rep(x: jnp.ndarray, nb: NttBasis, rep: int) -> jnp.ndarray:
+    """Inverse of ntt_rep: [rep*M, n2, n1] -> [rep*M, n1, n2]."""
+    if rep == 1 or nb.shard_axis is not None or not nb.use_pallas:
+        M = x.shape[0] // rep
+        return jnp.concatenate(
+            [intt(x[k * M: (k + 1) * M], nb) for k in range(rep)], axis=0
+        ) if rep > 1 else intt(x, nb)
+    from .ntt_pallas import intt_pallas
+
+    return intt_pallas(x, nb.q, nb.pinv, n1=nb.n1, n2=nb.n2,
+                       interpret=nb.interpret, rep=rep)
+
+
 def intt(x: jnp.ndarray, nb: NttBasis) -> jnp.ndarray:
     """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""
     if nb.shard_axis is not None:

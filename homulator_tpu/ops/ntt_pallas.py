@@ -220,40 +220,55 @@ def _make_intt_kernel(interpret: bool):
     return kernel
 
 
-def _slab(*shape):
-    """Per-limb slab: block [1, ...] along the leading (limb) grid axis."""
+def _slab(*shape, mod=None):
+    """Per-limb slab: block [1, ...] along the leading (limb) grid axis.
+
+    mod: when the grid covers rep copies of an M-row basis (batched
+    transforms of several arrays over the SAME primes — e.g. both key
+    components of a ModDown), table slabs index i % M so the tables are
+    never duplicated in HBM."""
     nd = len(shape)
-    return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
-                        memory_space=pltpu.VMEM)
+    if mod is None:
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(
+        (1,) + shape, lambda i: (jax.lax.rem(i, mod),) + (0,) * nd,
+        memory_space=pltpu.VMEM,
+    )
 
 
 _SMEM_FULL = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
-def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False):
-    """x: [M, n1, n2] coeff tiles; q: [M]; pfwd: Shoup table tuple (see
-    NttBasis). Returns [M, n2, n1] eval tiles (the 4-step's natural output
-    layout — kept 3-D everywhere on device so kernel boundaries never pay
-    an XLA tiled-layout relayout)."""
-    M = x.shape[0]
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret", "rep"))
+def ntt_pallas(x, q, pfwd, *, n1, n2, interpret=False, rep=1):
+    """x: [rep*M, n1, n2] coeff tiles; q: [M]; pfwd: Shoup table tuple (see
+    NttBasis). Returns [rep*M, n2, n1] eval tiles (the 4-step's natural
+    output layout — kept 3-D everywhere on device so kernel boundaries
+    never pay an XLA tiled-layout relayout). rep > 1 transforms rep
+    stacked arrays over the SAME basis in one grid (table slabs index
+    i % M, so tables are fetched per row but never duplicated)."""
+    Mt = x.shape[0]
+    Mb = Mt // rep
     p1, p1s, mid, mids, p2, p2s = pfwd
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
+    qq = jnp.tile(q, rep) if rep > 1 else q
+    mod = Mb if rep > 1 else None
     return pl.pallas_call(
         _make_ntt_kernel(interpret),
-        grid=(M,),
+        grid=(Mt,),
         in_specs=[
             _SMEM_FULL,
-            _slab(n1, l1), _slab(n1, l1),
-            _slab(n1, n2), _slab(n1, n2),
-            _slab(n2, l2), _slab(n2, l2),
+            _slab(n1, l1, mod=mod), _slab(n1, l1, mod=mod),
+            _slab(n1, n2, mod=mod), _slab(n1, n2, mod=mod),
+            _slab(n2, l2, mod=mod), _slab(n2, l2, mod=mod),
             _slab(n1, n2),
         ],
         out_specs=_slab(n2, n1),
-        out_shape=jax.ShapeDtypeStruct((M, n2, n1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Mt, n2, n1), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(M, 1), p1, p1s, mid, mids, p2, p2s, x)
+    )(qq.reshape(Mt, 1), p1, p1s, mid, mids, p2, p2s, x)
 
 
 # --------------------------------------------------------------------------
@@ -392,24 +407,28 @@ def intt_phase1_pallas(x, q, midi, midis, ip1, ip1s, *, n1, c, interpret=False):
     )(q.reshape(M, 1), midi, midis, ip1, ip1s, x)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret"))
-def intt_pallas(x, q, pinv, *, n1, n2, interpret=False):
-    """x: [M, n2, n1] eval tiles -> [M, n1, n2] coeff tiles."""
-    M = x.shape[0]
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret", "rep"))
+def intt_pallas(x, q, pinv, *, n1, n2, interpret=False, rep=1):
+    """x: [rep*M, n2, n1] eval tiles -> [rep*M, n1, n2] coeff tiles
+    (rep as in ntt_pallas)."""
+    Mt = x.shape[0]
+    Mb = Mt // rep
     ip1, ip1s, midi, midis, ip2, ip2s = pinv
     l1 = n1.bit_length() - 1
     l2 = n2.bit_length() - 1
+    qq = jnp.tile(q, rep) if rep > 1 else q
+    mod = Mb if rep > 1 else None
     return pl.pallas_call(
         _make_intt_kernel(interpret),
-        grid=(M,),
+        grid=(Mt,),
         in_specs=[
             _SMEM_FULL,
-            _slab(n1, l1), _slab(n1, l1),
-            _slab(n1, n2), _slab(n1, n2),
-            _slab(n2, l2), _slab(n2, l2),
+            _slab(n1, l1, mod=mod), _slab(n1, l1, mod=mod),
+            _slab(n1, n2, mod=mod), _slab(n1, n2, mod=mod),
+            _slab(n2, l2, mod=mod), _slab(n2, l2, mod=mod),
             _slab(n2, n1),
         ],
         out_specs=_slab(n1, n2),
-        out_shape=jax.ShapeDtypeStruct((M, n1, n2), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Mt, n1, n2), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(M, 1), ip1, ip1s, midi, midis, ip2, ip2s, x)
+    )(qq.reshape(Mt, 1), ip1, ip1s, midi, midis, ip2, ip2s, x)
