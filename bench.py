@@ -62,6 +62,10 @@ def main() -> int:
 
     hmult_ms = 1e3 * benchlib.hmult_seconds(eng, ct1, ct2)
 
+    # hrotate: the second key-switch-bearing op (reference bench_micro24
+    # sweeps both; VERDICT r2 weak #2 asked for it in the headline JSON).
+    hrotate_ms = 1e3 * benchlib.hrotate_seconds(eng, ct1, step=1)
+
     ntt_pair_s = benchlib.ntt_pair_seconds(eng, ct1.data[0], level)
     ntt_limb_per_s = 2 * level / ntt_pair_s  # NTT + iNTT both count
 
@@ -80,6 +84,7 @@ def main() -> int:
         "vs_baseline": round(vs_baseline, 2),
         "backend": jax.default_backend(),
         "correct": bool(ok),
+        "hrotate_latency_ms": round(hrotate_ms, 3),
         "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
         "cpu_ref_hmult_ms": cpu_ms,
         "setup_ctx_s": round(setup_ctx_s, 1),

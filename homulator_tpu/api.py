@@ -77,10 +77,10 @@ def _keyswitch_rescale_tail(d0, d1, d2, evk_mont, kt, last_nt, out_nt,
     if USE_FUSED_HPIP and kt.tail is not None and kt.main_nt.shard_axis is None:
         # Fused ModUp-NTT + evk inner product (the HPIP kernel), then the
         # fused moddown+rescale tails. Bit-exact but measured SLOWER than
-        # the pieces path on v5e (0.78 ms vs 0.57 ms for the NTT+IP slice:
-        # both halves are VPU-bound so fusing them buys no overlap, and
-        # Mosaic runs the Montgomery products ~2.3x slower than XLA's
-        # fusion of the same math — BENCH_NOTES "HPIP bake-off"), so
+        # the pieces path on v5e (1.08 ms vs 0.76 ms for the modup+IP
+        # chain: both halves are VPU-bound so fusing them buys no overlap,
+        # and Mosaic's interleaved Montgomery MAC stream is slower than
+        # XLA's fusion of the same math — BENCH_NOTES "HPIP bake-off"), so
         # routing keeps the pieces path; flip USE_FUSED_HPIP on hardware
         # where the evk stream, not the VPU, is the binding resource.
         acc = hpip_acc(modup_convs_coeff(d2, kt), d2, evk_mont, kt)
