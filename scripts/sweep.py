@@ -21,12 +21,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Reference parameter sets (script/README.md:17-22).
+# Reference parameter sets (script/README.md:17-22). "M" is the
+# script/motivation analog: set-A limb structure (maxLevel=28, alpha=28)
+# on the N=2^16 config (micro24_motivation.sh:3-6 runs hmult over
+# config_4.cfg at every level 28..2).
 PARAM_SETS = {
     "A": dict(n=2**15, max_level=28, alpha=28),
     "B": dict(n=2**16, max_level=45, alpha=15),
     "C": dict(n=2**16, max_level=24, alpha=6),
     "D": dict(n=2**16, max_level=26, alpha=9),
+    "M": dict(n=2**16, max_level=28, alpha=28),
 }
 OPS = ["hmult", "hadd", "hrotate", "pmult", "padd"]
 
