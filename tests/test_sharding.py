@@ -143,6 +143,28 @@ def test_shardmap_hmult_pallas_matches_single_chip(pallas_engine, coeff):
     assert np.array_equal(out, _hmult_ref(eng, a, b, level))
 
 
+def test_vmap_hmult_single_chip_batched(pallas_engine):
+    """Single-chip serving shape (scripts/bench_batched.py): jax.vmap over
+    the full hmult graph — every Pallas grid lifts to rep-B — must be
+    bit-exact vs per-example execution."""
+    eng = pallas_engine
+    level = 8
+    B = 3
+    ab = _batch(eng, level, B, seed=21)
+    bb = _batch(eng, level, B, seed=22)
+    dc = eng.dc
+    kt = dc.keyswitch_tables(level)
+    last_nt = dc.ntt_basis((level - 1,))
+    out_nt = dc.ntt_basis(dc.main_rows(level - 1))
+    rs = dc.rescale_qinv_mont(level)
+    f = jax.vmap(
+        lambda x, y: hmult_graph(x, y, eng.relin_key, kt, last_nt, out_nt, rs)
+    )
+    out = np.asarray(jax.jit(f)(ab, bb))
+    for i in range(B):
+        assert np.array_equal(out[i], _hmult_ref(eng, ab[i], bb[i], level)), i
+
+
 def test_shardmap_hmult_data_parallel_batched(pallas_engine):
     """data x coeff mesh: batch vmapped inside the shard_map, coefficient
     axis sharded — both axes exercised together."""
