@@ -184,8 +184,14 @@ def run_op(args) -> int:
             return eng.pmult(ct1, pt2)
         if rc.op == "padd":
             return eng.padd(ct1, pt2)
+        # Extended surface beyond the reference's 5-op contract:
+        if rc.op == "hsub":
+            return eng.hsub(ct1, ct2)
+        if rc.op == "hsquare":
+            return eng.hsquare(ct1)
         raise SystemExit(f"unknown op {rc.op!r} "
-                         "(expected hmult|hadd|hrotate|pmult|padd)")
+                         "(expected hmult|hadd|hrotate|pmult|padd"
+                         "|hsub|hsquare)")
 
     with stats.timer("compile+first_run"):
         out = op_once()
@@ -240,6 +246,10 @@ def run_op(args) -> int:
             expected = np.roll(v1, -1)
         elif rc.op == "pmult":
             expected = v1 * v2
+        elif rc.op == "hsub":
+            expected = v1 - v2
+        elif rc.op == "hsquare":
+            expected = v1 * v1
         else:
             expected = v1 + v2
         err = float(np.max(np.abs(got - expected)))

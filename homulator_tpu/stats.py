@@ -107,18 +107,19 @@ def op_modmul_count(op: str, n: int, level: int, alpha: int, dnum_used: int) -> 
     logn = n.bit_length() - 1
     ntt_cost = (logn // 2 + logn - logn // 2) * (n // 2) + n  # butterflies + mid
     l, a = level, alpha
-    if op in ("hadd", "padd"):
+    if op in ("hadd", "hsub", "padd"):
         return 0
     if op == "pmult":
         return 2 * l * n
-    if op in ("hmult", "hrotate"):
+    if op in ("hmult", "hsquare", "hrotate"):
         beta = -(-l // a)
         ks_ntt = l + beta * (l + a) + 2 * (a + l)  # modup intt+ntt, moddown per k
         ks_bconv = beta * (l + a) * min(a, l) + 2 * l * a
         ks_ip = 2 * beta * (l + a)
         total = ks_ntt * ntt_cost + (ks_bconv + ks_ip) * n
-        if op == "hmult":
-            total += 5 * l * n  # tensor + relin add
+        if op in ("hmult", "hsquare"):
+            # tensor + relin add (hsquare saves one tensor multiply)
+            total += (5 if op == "hmult" else 4) * l * n
             total += 2 * ((l - 1) * n + 2 * ntt_cost)  # rescale both components
         return total
     raise ValueError(op)
