@@ -22,7 +22,8 @@ from .context import COEFF, EVAL, Ciphertext, DeviceContext, Plaintext
 from .ops.automorph import automorph_eval
 from .ops.keyswitch import (
     hpip_acc, inner_product_moddown, inner_product_pieces, keyswitch,
-    keyswitch_fused, keyswitch_pieces, moddown_pair, moddown_rescale,
+    keyswitch_fused, keyswitch_pieces, moddown_pair, moddown_pair2,
+    moddown_rescale,
     moddown_rescale2, modup_all, modup_conv_all, modup_convs_coeff,
 )
 from .ops.modmath import modadd, modsub, mont_mul, to_mont
@@ -188,8 +189,14 @@ def _hrotate_hoisted_graph(a, perms, rotks, kt):
             rot_convs = tuple(automorph_eval(c, perm) for c in convs)
             r1 = automorph_eval(a[1], perm)
             acc0, acc1 = inner_product_pieces(rot_convs, r1, rotk, kt)
-            e0 = moddown_pair(acc0, kt)
-            e1 = moddown_pair(acc1, kt)
+            if main.shard_axis is None:
+                # Both components' tails in one rep-2 batched pass (same
+                # routing as keyswitch_pieces).
+                e = moddown_pair2(acc0, acc1, kt)
+                e0, e1 = e[0], e[1]
+            else:
+                e0 = moddown_pair(acc0, kt)
+                e1 = moddown_pair(acc1, kt)
             r0 = automorph_eval(a[0], perm)
             outs.append(jnp.stack([modadd(r0, e0, q), e1]))
         return jnp.stack(outs)
@@ -316,6 +323,7 @@ class CkksEngine:
 
     def hsub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         assert a.level == b.level
+        self._count("hsub", a.level)
         q, _, _ = self.dc.q_level(a.level)
         return Ciphertext(_hsub_graph(a.data, b.data, q), a.level, a.scale)
 
@@ -360,6 +368,7 @@ class CkksEngine:
     def hsquare(self, a: Ciphertext) -> Ciphertext:
         assert self.relin_key is not None, "call keygen() first"
         l = a.level
+        self._count("hsquare", l)
         kt = self.dc.keyswitch_tables(l)
         last_nt = self.dc.ntt_basis((l - 1,))
         out_nt = self.dc.ntt_basis(self.dc.main_rows(l - 1))
@@ -473,6 +482,17 @@ class CkksEngine:
             q, _, _ = self.dc.q_level(l)
             args = (a.data, pt.data, q)
             graph = _padd_graph
+        elif op == "hsub":
+            q, _, _ = self.dc.q_level(l)
+            args = (a.data, b.data, q)
+            graph = _hsub_graph
+        elif op == "hsquare":
+            kt = self.dc.keyswitch_tables(l)
+            args = (a.data, self.relin_key, kt,
+                    self.dc.ntt_basis((l - 1,)),
+                    self.dc.ntt_basis(self.dc.main_rows(l - 1)),
+                    self.dc.rescale_qinv_mont(l))
+            graph = _hsquare_graph
         else:
             raise ValueError(op)
         return xla_counters(graph.lower(*args).compile())

@@ -50,17 +50,13 @@ def run_op(args) -> int:
 
     rc = RunConfig.from_cli(args.cfg, args.op, args.max_level, args.level,
                             args.alpha, args.cluster)
-    mesh = None
     n_mesh = rc.cluster if args.cluster is not None else 1
-    if n_mesh and n_mesh > 1:
-        if n_mesh > len(jax.devices()):
-            raise SystemExit(
-                f"cluster={n_mesh} > {len(jax.devices())} devices "
-                "(use --platform cpu for virtual devices)"
-            )
-        from .parallel.mesh import make_mesh
-
-        mesh = make_mesh(shape=(1, n_mesh), n_devices=n_mesh)
+    cluster_on = bool(n_mesh and n_mesh > 1)
+    if cluster_on and n_mesh > len(jax.devices()):
+        raise SystemExit(
+            f"cluster={n_mesh} > {len(jax.devices())} devices "
+            "(use --platform cpu for virtual devices)"
+        )
     print(f"# backend={jax.default_backend()} devices={len(jax.devices())}")
     print(f"# N={rc.n} op={rc.op} maxLevel={rc.max_level} level={rc.level} "
           f"alpha={rc.alpha}")
@@ -76,15 +72,17 @@ def run_op(args) -> int:
     # GSPMD-partitioned jnp graph.
     t_n1, t_n2 = params.ntt.n1, params.ntt.n2
     use_shardmap = (
-        mesh is not None and rc.op in ("hmult", "hrotate")
+        cluster_on and rc.op in ("hmult", "hrotate")
         and t_n1 % n_mesh == 0 and t_n2 % n_mesh == 0
-        and t_n2 // n_mesh >= 8  # per-shard tiles must stay kernel-shaped
+        # per-shard tiles must stay kernel-shaped: the SHARDED axis is the
+        # trailing (smaller) one, so bound the smaller tile dim
+        and min(t_n1, t_n2) // n_mesh >= 8
     )
     with stats.timer("setup/engine"):
         if use_shardmap:
             # Pallas kernels per shard: interpret mode on CPU backends.
             mode = "pallas" if jax.default_backend() == "tpu" else "interpret"
-        elif mesh is not None:
+        elif cluster_on:
             # GSPMD partitions the jnp graph from the input shardings.
             mode = "jnp"
         else:
@@ -118,8 +116,8 @@ def run_op(args) -> int:
         ct_sh = NamedSharding(mesh, P(None, None, None, "coeff"))
         key_sh = NamedSharding(mesh, P(None, None, None, None, "coeff"))
         ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
-        ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
         if rc.op == "hmult":
+            ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
             eng.relin_key = jax.device_put(eng.relin_key, key_sh)
             shardmap_fn = make_shardmap_hmult(eng.dc, rc.level, mesh)
         else:
@@ -131,7 +129,7 @@ def run_op(args) -> int:
         print(f"# dispatch=shard_map+pallas mesh=(1 data, {n_mesh} coeff) "
               f"ici_bytes_per_device={ici} "
               f"({ici / 1e6:.1f} MB over the interTrans/AUTO collectives)")
-    elif mesh is not None:
+    elif cluster_on:
         # Limb-shard operands and keys over the mesh (the reference's
         # limb-per-cluster dispatch, Driver.h:158); jitted op graphs
         # propagate the shardings and GSPMD inserts the collectives.
@@ -139,6 +137,9 @@ def run_op(args) -> int:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(shape=(1, n_mesh), n_devices=n_mesh)
         print(f"# dispatch=gspmd mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
         if rc.level % n_mesh == 0:

@@ -143,6 +143,23 @@ def test_shardmap_hmult_pallas_matches_single_chip(pallas_engine, coeff):
     assert np.array_equal(out, _hmult_ref(eng, a, b, level))
 
 
+def test_hrotate_hoisted_pallas_path(pallas_engine):
+    """Hoisted rotations on the Pallas (interpret) path — covers the
+    rep-2 moddown_pair2 tail routing in _hrotate_hoisted_graph — must be
+    bit-identical to per-step hrotate."""
+    eng = pallas_engine
+    level = 8
+    ct = _batch(eng, level, 1, seed=31)[0]
+    from homulator_tpu.context import Ciphertext
+
+    c = Ciphertext(ct, level, SCALE)
+    steps = [1, 3]
+    outs = eng.hrotate_hoisted(c, steps)
+    for s, got in zip(steps, outs):
+        want = eng.hrotate(c, s)
+        assert np.array_equal(np.asarray(got.data), np.asarray(want.data)), s
+
+
 def test_vmap_hmult_single_chip_batched(pallas_engine):
     """Single-chip serving shape (scripts/bench_batched.py): jax.vmap over
     the full hmult graph — every Pallas grid lifts to rep-B — must be
