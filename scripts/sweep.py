@@ -102,11 +102,12 @@ def run_sweep(sets, ops, levels_arg, iters, out_dir):
                 f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec), flush=True)
 
-        if levels_arg == "all":
+        if levels_arg == "all" or len(levels) > 8:
             # LEVEL-major: all ops at one level share the level's device
             # tables, then the caches are dropped — each level's
             # NTT/keyswitch tables are ~100+ MB of HBM and 40+ cached
-            # levels would not fit.
+            # levels would not fit. (Same discipline for any long explicit
+            # list, e.g. resuming an interrupted full grid.)
             for level in levels:
                 for op in ops:
                     measure(op, level)
