@@ -94,5 +94,18 @@ def main() -> int:
     return 0 if ok else 1
 
 
+def main_with_retry() -> int:
+    """The axon tunnel's remote-compile endpoint occasionally drops an
+    RPC mid-stream ("response body closed before all bytes were read" —
+    observed live); one retry in a fresh attempt covers the transient
+    without masking real failures."""
+    try:
+        return main()
+    except Exception as e:
+        print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())

@@ -1,0 +1,6 @@
+#!/bin/bash
+# Run all operations for set A (reference script/paraA/run.sh parity).
+cd "$(dirname "$0")"
+for op in hmult hadd hrotate pmult padd; do
+  bash micro24_A_${op}.sh "${1:-1}" || exit 1
+done

@@ -1,0 +1,6 @@
+#!/bin/bash
+# Run all operations for set C (reference script/paraC/run.sh parity).
+cd "$(dirname "$0")"
+for op in hmult hadd hrotate pmult padd; do
+  bash micro24_C_${op}.sh "${1:-1}" || exit 1
+done
