@@ -94,14 +94,27 @@ def main() -> int:
     return 0 if ok else 1
 
 
+# Transient tunnel-transport failure signatures (observed live). Anything
+# else is a real failure and must surface immediately — a deterministic
+# bug would otherwise run the full multi-minute bench twice (ADVICE r3).
+_TRANSIENT_MSGS = (
+    "response body closed before all bytes were read",
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE",
+    "Connection reset",
+    "Broken pipe",
+)
+
+
 def main_with_retry() -> int:
     """The axon tunnel's remote-compile endpoint occasionally drops an
-    RPC mid-stream ("response body closed before all bytes were read" —
-    observed live); one retry in a fresh attempt covers the transient
-    without masking real failures."""
+    RPC mid-stream; one retry covers that transient. Only known transport
+    signatures are retried; everything else re-raises."""
     try:
         return main()
     except Exception as e:
+        if not any(m in str(e) for m in _TRANSIENT_MSGS):
+            raise
         print(f"# bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
               file=sys.stderr)
         return main()

@@ -367,6 +367,7 @@ class CkksEngine:
 
     def hsquare(self, a: Ciphertext) -> Ciphertext:
         assert self.relin_key is not None, "call keygen() first"
+        assert a.level >= 2, a.level  # rescale drops one limb (as in hmult)
         l = a.level
         self._count("hsquare", l)
         kt = self.dc.keyswitch_tables(l)

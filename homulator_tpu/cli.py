@@ -63,6 +63,18 @@ def run_op(args) -> int:
 
     stats = Statistic()
     params = get_params(rc.n, rc.max_level, rc.alpha, rc.scale_bits)
+    # Hardware-dependent keyswitch routing (BENCH_NOTES "HPIP bake-off"):
+    # `--fused-hpip` or cfg `fused_hpip = 1` routes key switches through the
+    # fused ModUp-NTT+inner-product Pallas kernel (api.USE_FUSED_HPIP).
+    # Default off: measured slower on v5e; flip it on hardware where the
+    # evk stream, not the VPU, is the binding resource.
+    import homulator_tpu.api as api_mod
+
+    fused_hpip = bool(getattr(args, "fused_hpip", False)
+                      or (rc.raw or {}).get("fused_hpip", 0))
+    if fused_hpip:
+        api_mod.USE_FUSED_HPIP = True  # main() restores the previous value
+        print("# keyswitch=fused-hpip (ops/hpip_pallas.py)")
     # Mesh dispatch (the reference's cluster knob scales its real dispatch,
     # bench_micro24.cpp:23-25, Driver.h:158): when the coefficient tile
     # divides the cluster count and the op carries a key switch, use the
@@ -85,6 +97,10 @@ def run_op(args) -> int:
         elif cluster_on:
             # GSPMD partitions the jnp graph from the input shardings.
             mode = "jnp"
+        elif fused_hpip and jax.default_backend() != "tpu":
+            # The fused-HPIP route exists only on the kernel path; off-TPU
+            # that means Pallas interpret mode.
+            mode = "interpret"
         else:
             mode = "auto"
         eng = CkksEngine(params, seed=args.seed, ntt_mode=mode)
@@ -284,11 +300,21 @@ def main(argv=None) -> int:
     runp.add_argument("--verify", action="store_true")
     runp.add_argument("--profile", default=None,
                       help="write a jax.profiler trace to this directory")
+    runp.add_argument("--fused-hpip", action="store_true",
+                      help="route key switches through the fused HPIP "
+                           "Pallas kernel (also cfg key fused_hpip = 1); "
+                           "off by default — measured slower on v5e")
     runp.add_argument("--platform", default=None, help="jax platform override (e.g. cpu)")
     runp.add_argument("--cache-dir", default=".jax_cache")
     args = ap.parse_args(argv)
     if args.cmd == "run":
-        return run_op(args)
+        import homulator_tpu.api as api_mod
+
+        prev_fused = api_mod.USE_FUSED_HPIP
+        try:
+            return run_op(args)
+        finally:
+            api_mod.USE_FUSED_HPIP = prev_fused
     return 2
 
 

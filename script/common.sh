@@ -14,7 +14,10 @@ run_set_op() {
   set_name=$1; op=$2; max_level=$3; alpha=$4; n=$5; cluster=${6:-1}
   root=$(cd "$(dirname "$0")/../.." && pwd)
   if [ "$cluster" -le 1 ]; then
-    exec python "$root/scripts/sweep.py" --sets "$set_name" --ops "$op" --levels all
+    # --out must be the repo-root outLogs: run.sh cds into script/paraX/,
+    # so sweep.py's relative default would land the jsonl in the wrong tree.
+    exec python "$root/scripts/sweep.py" --sets "$set_name" --ops "$op" \
+      --levels all --out "$root/outLogs"
   fi
   cfg="$root/configs/n16.cfg"
   [ "$n" = 32768 ] && cfg="$root/configs/n15.cfg"

@@ -18,7 +18,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 import numpy as np
 
@@ -27,7 +28,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -84,7 +85,7 @@ def main() -> int:
             b1 = per_op_ms
     out["batch8_speedup_vs_b1"] = round(b1 / out["batch8_per_op_ms"], 3)
     print(json.dumps(out))
-    with open("/root/repo/BATCHED.json", "w") as f:
+    with open(os.path.join(ROOT, "BATCHED.json"), "w") as f:
         json.dump(out, f, indent=1)
     return 0
 

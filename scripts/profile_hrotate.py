@@ -8,13 +8,14 @@ Same methodology as profile_hmult.py: shape-preserving chained device
 loops, tables as jit arguments.
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from homulator_tpu.api import CkksEngine, _hrotate_graph
 from homulator_tpu.benchlib import time_chained

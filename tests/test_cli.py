@@ -46,3 +46,19 @@ def test_cli_cluster_dispatch(op, expect, capsys):
 def test_cli_unknown_op():
     with pytest.raises(SystemExit):
         cli.main(["run", CFG, "bogus", "8", "4", "4"])
+
+
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_cli_fused_hpip_routing(op, capsys):
+    """`--fused-hpip` reaches the fused HPIP kernel path (api.USE_FUSED_HPIP)
+    and still decrypt-verifies; the flag is restored after the run."""
+    import homulator_tpu.api as api_mod
+
+    assert api_mod.USE_FUSED_HPIP is False  # documented v5e default
+    rc = cli.main(["run", CFG, op, "8", "4", "4", "--verify", "--iters", "1",
+                   "--fused-hpip"])
+    outp = capsys.readouterr().out
+    assert rc == 0, outp
+    assert "keyswitch=fused-hpip" in outp
+    assert "verify max-abs-err" in outp
+    assert api_mod.USE_FUSED_HPIP is False  # restored by cli.main
