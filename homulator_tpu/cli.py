@@ -76,20 +76,49 @@ def run_op(args) -> int:
         api_mod.USE_FUSED_HPIP = True  # main() restores the previous value
         print("# keyswitch=fused-hpip (ops/hpip_pallas.py)")
     # Mesh dispatch (the reference's cluster knob scales its real dispatch,
-    # bench_micro24.cpp:23-25, Driver.h:158): when the coefficient tile
-    # divides the cluster count and the op carries a key switch, use the
-    # PERFORMANCE path — shard_map over a ('data','coeff') mesh running the
-    # per-shard Pallas kernels with explicit ICI collectives
-    # (parallel/sharded.make_shardmap_*); otherwise fall back to the
-    # GSPMD-partitioned jnp graph.
+    # bench_micro24.cpp:23-25). Key-switch ops have TWO explicit-collective
+    # shard_map paths, picked per shape by exact per-device ICI volume
+    # (both formulas are HLO-reconciled by tests/test_sharding.py):
+    #
+    #   limb  — the reference's PRIMARY dispatch (limb % cluster,
+    #           Driver.h:155-191): rows sharded, every NTT whole and
+    #           device-local, 2-3 row-block all_gathers total
+    #           (parallel/limb_sharded.py);
+    #   coeff — the sequence-parallel analog: columns sharded, one
+    #           all_to_all per transform + all_gather automorphisms
+    #           (parallel/sharded.make_shardmap_*), needs kernel-shaped
+    #           per-device tiles.
+    #
+    # Non-keyswitch ops (and --dispatch gspmd) use the GSPMD-partitioned
+    # jnp graph. Override with --dispatch {auto,limb,coeff,gspmd}.
     t_n1, t_n2 = params.ntt.n1, params.ntt.n2
-    use_shardmap = (
-        cluster_on and rc.op in ("hmult", "hrotate")
-        and t_n1 % n_mesh == 0 and t_n2 % n_mesh == 0
+    ks_op = rc.op in ("hmult", "hrotate")
+    coeff_ok = (
+        ks_op and t_n1 % n_mesh == 0 and t_n2 % n_mesh == 0
         # per-shard tiles must stay kernel-shaped: the SHARDED axis is the
         # trailing (smaller) one, so bound the smaller tile dim
         and min(t_n1, t_n2) // n_mesh >= 8
     )
+    dispatch = None
+    ici_limb = ici_coeff = None
+    if cluster_on and ks_op and args.dispatch != "gspmd":
+        from .parallel.limb_sharded import ici_bytes_per_op_limb
+        from .parallel.sharded import ici_bytes_per_op
+
+        ici_limb = ici_bytes_per_op_limb(params, rc.level, n_mesh, rc.op)
+        ici_coeff = (ici_bytes_per_op(params, rc.level, n_mesh, rc.op)
+                     if coeff_ok else None)
+        if args.dispatch in ("limb", "coeff"):
+            dispatch = args.dispatch
+            if dispatch == "coeff" and not coeff_ok:
+                raise SystemExit(
+                    f"--dispatch coeff needs n1,n2 % {n_mesh} == 0 and "
+                    f"per-shard tiles >= 8 (n1={t_n1}, n2={t_n2})")
+        elif ici_coeff is not None and ici_coeff < ici_limb:
+            dispatch = "coeff"
+        else:
+            dispatch = "limb"
+    use_shardmap = dispatch in ("limb", "coeff")
     with stats.timer("setup/engine"):
         if use_shardmap:
             # Pallas kernels per shard: interpret mode on CPU backends.
@@ -121,30 +150,67 @@ def run_op(args) -> int:
     if use_shardmap:
         import dataclasses as _dc
 
+        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.mesh import make_mesh as _mk
-        from .parallel.sharded import ici_bytes_per_op, make_shardmap_hmult, \
-            make_shardmap_hrotate
 
-        mesh = _mk(shape=(1, n_mesh), n_devices=n_mesh,
-                   axis_names=("data", "coeff"))
-        ct_sh = NamedSharding(mesh, P(None, None, None, "coeff"))
-        key_sh = NamedSharding(mesh, P(None, None, None, None, "coeff"))
-        ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
-        if rc.op == "hmult":
-            ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
-            eng.relin_key = jax.device_put(eng.relin_key, key_sh)
-            shardmap_fn = make_shardmap_hmult(eng.dc, rc.level, mesh)
+        both = (f"ici/device: limb={ici_limb / 1e6:.2f} MB, coeff="
+                + (f"{ici_coeff / 1e6:.2f} MB" if ici_coeff is not None
+                   else "n/a (tile shape)")
+                + f" -> {dispatch}"
+                + ("" if args.dispatch == "auto" else " (forced)"))
+        if dispatch == "limb":
+            from .parallel.limb_sharded import (
+                evk_limb_row_order, make_limb_hmult, make_limb_hrotate,
+                pad_main_rows,
+            )
+
+            mesh = _mk(shape=(n_mesh,), n_devices=n_mesh,
+                       axis_names=("limb",))
+            ct_sh = NamedSharding(mesh, P(None, "limb", None, None))
+            key_sh = NamedSharding(mesh, P(None, None, "limb", None, None))
+            order = jnp.asarray(evk_limb_row_order(params, rc.level, n_mesh))
+            ct1 = _dc.replace(
+                ct1, data=jax.device_put(
+                    pad_main_rows(ct1.data, rc.level, n_mesh), ct_sh))
+            if rc.op == "hmult":
+                ct2 = _dc.replace(
+                    ct2, data=jax.device_put(
+                        pad_main_rows(ct2.data, rc.level, n_mesh), ct_sh))
+                eng.relin_key = jax.device_put(
+                    jnp.take(eng.relin_key, order, axis=2), key_sh)
+                shardmap_fn = make_limb_hmult(eng.dc, rc.level, mesh)
+            else:
+                eng.gen_rotation_key(1)
+                eng.rot_keys[1] = jax.device_put(
+                    jnp.take(eng.rot_keys[1], order, axis=2), key_sh)
+                shardmap_fn = make_limb_hrotate(eng.dc, rc.level, mesh)
+            ici = ici_limb
+            print(f"# dispatch=shard_map+pallas axis=limb mesh=({n_mesh} "
+                  f"limb) ici_bytes_per_device={ici} — {both}")
         else:
-            eng.gen_rotation_key(1)
-            eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
-            shardmap_fn = make_shardmap_hrotate(eng.dc, rc.level, mesh)
-        ici = ici_bytes_per_op(params, rc.level, n_mesh, rc.op)
+            from .parallel.sharded import (
+                make_shardmap_hmult, make_shardmap_hrotate,
+            )
+
+            mesh = _mk(shape=(1, n_mesh), n_devices=n_mesh,
+                       axis_names=("data", "coeff"))
+            ct_sh = NamedSharding(mesh, P(None, None, None, "coeff"))
+            key_sh = NamedSharding(mesh, P(None, None, None, None, "coeff"))
+            ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
+            if rc.op == "hmult":
+                ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
+                eng.relin_key = jax.device_put(eng.relin_key, key_sh)
+                shardmap_fn = make_shardmap_hmult(eng.dc, rc.level, mesh)
+            else:
+                eng.gen_rotation_key(1)
+                eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
+                shardmap_fn = make_shardmap_hrotate(eng.dc, rc.level, mesh)
+            ici = ici_coeff
+            print(f"# dispatch=shard_map+pallas axis=coeff mesh=(1 data, "
+                  f"{n_mesh} coeff) ici_bytes_per_device={ici} — {both}")
         stats.set("ICI_bytes_per_device", ici)
-        print(f"# dispatch=shard_map+pallas mesh=(1 data, {n_mesh} coeff) "
-              f"ici_bytes_per_device={ici} "
-              f"({ici / 1e6:.1f} MB over the interTrans/AUTO collectives)")
     elif cluster_on:
         # Limb-shard operands and keys over the mesh (the reference's
         # limb-per-cluster dispatch, Driver.h:158); jitted op graphs
@@ -184,12 +250,16 @@ def run_op(args) -> int:
 
             if rc.op == "hmult":
                 data = shardmap_fn(ct1.data, ct2.data, eng.relin_key)
+                if dispatch == "limb":  # drop zeroed pad rows
+                    data = data[:, : rc.level - 1]
                 return Ciphertext(
                     data, rc.level - 1,
                     ct1.scale * ct2.scale / params.qs[rc.level - 1],
                 )
             perm = eng.dc.automorph_perm(params.galois_elt(1))
             data = shardmap_fn(ct1.data, perm, eng.rot_keys[1])
+            if dispatch == "limb":
+                data = data[:, : rc.level]
             return Ciphertext(data, rc.level, ct1.scale)
         if rc.op == "hmult":
             return eng.hmult(ct1, ct2)
@@ -295,6 +365,11 @@ def main(argv=None) -> int:
     runp.add_argument("cluster", type=int, nargs="?", default=None,
                       help="optional device-mesh size (the reference's 6th "
                            "positional, bench_micro24.cpp:23-25)")
+    runp.add_argument("--dispatch", default="auto",
+                      choices=["auto", "limb", "coeff", "gspmd"],
+                      help="multi-chip dispatch axis for keyswitch ops "
+                           "(auto = min per-device ICI volume; limb is the "
+                           "reference's primary dispatch, Driver.h:155-191)")
     runp.add_argument("--iters", type=int, default=5)
     runp.add_argument("--seed", type=int, default=0)
     runp.add_argument("--verify", action="store_true")

@@ -1,0 +1,620 @@
+"""Limb-axis (RNS-row) sharded operation graphs — the reference's PRIMARY
+dispatch, done with explicit collectives.
+
+The reference Driver assigns every per-limb unit of work to cluster
+`limb % cluster` (include/Driver.h:155-191: NTT/INTT and AUTO instructions
+dispatch by `ins->limb % this->cluster`), so each NTT runs WHOLE on one
+cluster and the machine scales by distributing transform COUNT, not
+transform size. This module is that dispatch on a TPU mesh axis 'limb':
+
+  * every multi-row transform batch (ModUp iNTT, per-digit NTTs, ModDown /
+    tail NTTs) splits its ROWS across devices — each transform stays
+    device-local, whole, and runs the unmodified single-chip Pallas
+    kernels (no phase splitting, no per-transform all_to_all);
+  * each device computes COMPLETE rows of the key-switch accumulator for
+    its block of the extended basis: the per-digit base-conversion kernel
+    (ops/bconv_fused.py) produces any output-row slice from the full digit
+    input, and own-digit rows come out of the same contraction EXACTLY
+    (only the t = j term of sum_t xhat_t*[Q_d/q_t] survives mod q_j, and
+    the centering term v*Q_d vanishes mod q_j), so the digit inner product
+    against the row-sharded evk needs NO cross-device reduction at all;
+  * the only ICI traffic is three all_gathers of row blocks: the
+    coeff-domain input rows feeding every digit contraction, the alpha
+    ModDown specials (bhat), and (hmult tail) the rescale w row.
+
+Contrast with parallel/sharded.py (coefficient-axis dispatch, the
+sequence-parallel analog): that path splits every transform's columns and
+pays one all_to_all per transform (~360 per hmult) plus a full all_gather
+per automorphism. Here the automorphism is a row-local gather (ZERO ICI —
+the reason the reference dispatches AUTO by limb, Driver.h:178) and an
+hmult moves ~3x fewer ICI bytes per device (ici_bytes_per_op_limb vs
+sharded.ici_bytes_per_op; DISPATCH_BAKEOFF.json has the full table).
+
+Row padding: the limb axis is padded so every device gets equal blocks
+(sm = ceil(level/ns) main rows, sa = ceil(alpha/ns) special rows; the
+reference's round-robin handles the same remainder by imbalance instead,
+Driver.h:158). Pad rows carry duplicated prime tables and garbage data;
+they are masked to zero at the op output and never feed a real row (digit
+contractions slice real rows only; v_b sums real specials only).
+
+Bit-exactness vs the single-chip graphs at mesh 2/4/8:
+tests/test_sharding.py::TestLimbSharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..context import DeviceContext, NttBasis
+from ..ops.automorph import automorph_eval
+from ..ops.bconv_fused import bconv_fused, build_bf16_tables
+from ..ops.modmath import (
+    lazy_sum_reduce, lazy_tree_sum, modadd, modsub, mont_mul, mont_mul_lazy,
+    shoup_mul, shoup_mul_lazy, to_mont,
+)
+from ..ops.ntt import intt, ntt
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# Table pytrees (device-blocked row layouts, sharded over the 'limb' axis)
+# --------------------------------------------------------------------------
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["step1_pl", "step1_sh", "in_q", "mat_bf16", "horner_sh"],
+    meta_fields=["lo", "hi"],
+)
+@dataclasses.dataclass
+class LimbDigitTables:
+    """Digit-d ModUp tables; mat/horner rows are in limb-ext block order
+    (device i's shard = the conversion matrix rows of ITS ext block, built
+    per device by build_limb_tables — includes own rows, which the
+    contraction reproduces exactly)."""
+
+    step1_pl: jnp.ndarray  # [nd] replicated
+    step1_sh: jnp.ndarray
+    in_q: jnp.ndarray  # [nd] replicated (digit's main primes)
+    mat_bf16: jnp.ndarray  # [ns*NPLANES*B, NPLANES*(nd+1)] row-sharded
+    horner_sh: jnp.ndarray  # [ns*B] row-sharded
+    lo: int
+    hi: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "q_main", "qinv_main", "r2_main", "p_pl", "p_sh",
+        "pqinv_pl", "pqinv_sh", "pinv_pl", "pinv_sh",
+        "q_sp", "md1_pl", "md1_sh",
+        "q_ext", "qinv_ext",
+        "main_nt", "sp_nt", "ext_nt", "tailzl_nt",
+        "digits",
+        "md_bf16", "md_hsh", "one_sp_pl", "one_sp_sh", "q_sp_full",
+        "tail_bf16", "tail_hsh", "one_tail_pl", "one_tail_sh", "in_q_tail",
+        "md2l_pl", "md2l_sh", "pinv_last_pl", "pinv_last_sh", "q_last",
+    ],
+    meta_fields=["level", "ns", "alpha", "sa", "sm", "owner_zl", "j_zl",
+                 "interpret"],
+)
+@dataclasses.dataclass
+class LimbTables:
+    """All device tables for one (level, ns) limb-sharded key switch.
+
+    Row-axis layouts (global shapes; shard_map shards axis 0 over 'limb'):
+      main rows:  [level_pad = ns*sm], natural order 0..level-1, pad dups at
+                  the end — device i owns rows [i*sm, (i+1)*sm)
+      special rows: [alpha_pad = ns*sa], same construction
+      ext rows:   [ns*B], B = sa + sm, device-blocked interleave — device
+                  i's block is [its specials, its mains] so the ModDown
+                  split (specials prefix / mains suffix) is block-local
+    """
+
+    q_main: jnp.ndarray
+    qinv_main: jnp.ndarray
+    r2_main: jnp.ndarray
+    p_pl: jnp.ndarray  # [P]_{q_i} Shoup pair per main row
+    p_sh: jnp.ndarray
+    pqinv_pl: jnp.ndarray  # [(P*q_last)^{-1}]_{q_i} pair (hmult tail)
+    pqinv_sh: jnp.ndarray
+    pinv_pl: jnp.ndarray  # [P^{-1}]_{q_i} pair (hrotate moddown)
+    pinv_sh: jnp.ndarray
+    q_sp: jnp.ndarray  # special primes per special row
+    md1_pl: jnp.ndarray  # [(P/p_j)^{-1}]_{p_j} pair per special row
+    md1_sh: jnp.ndarray
+    q_ext: jnp.ndarray  # [ns*B] ext-order primes
+    qinv_ext: jnp.ndarray
+    main_nt: NttBasis  # padded main rows
+    sp_nt: NttBasis  # padded special rows
+    ext_nt: NttBasis  # limb-ext order rows
+    tailzl_nt: NttBasis  # per device: [its specials, its zl slot]
+    digits: Tuple[LimbDigitTables, ...]
+    md_bf16: jnp.ndarray  # ModDown conversion, rows = main blocks
+    md_hsh: jnp.ndarray
+    one_sp_pl: jnp.ndarray  # identity step1 over the real alpha specials
+    one_sp_sh: jnp.ndarray
+    q_sp_full: jnp.ndarray  # [alpha] real special primes (replicated)
+    tail_bf16: jnp.ndarray  # fused ModDown+Rescale matrix, rows = main blocks
+    tail_hsh: jnp.ndarray
+    one_tail_pl: jnp.ndarray  # [alpha+2] identity step1 (tail input rows)
+    one_tail_sh: jnp.ndarray
+    in_q_tail: jnp.ndarray  # [alpha+2] tail input primes
+    md2l_pl: jnp.ndarray  # [alpha+1] [P/p_j]_{q_last} pair (w row)
+    md2l_sh: jnp.ndarray
+    pinv_last_pl: jnp.ndarray  # [P^{-1}]_{q_last} pair (scalar)
+    pinv_last_sh: jnp.ndarray
+    q_last: jnp.ndarray  # scalar
+    level: int
+    ns: int
+    alpha: int
+    sa: int
+    sm: int
+    owner_zl: int  # device owning main row level-1
+    j_zl: int  # its local index of that row
+    interpret: bool
+
+
+def build_limb_tables(dc: DeviceContext, level: int, ns: int) -> LimbTables:
+    """Host-side table build for the limb-sharded key switch (cached on dc)."""
+    ck = ("limb", level, ns)
+    if ck in dc._ks_cache:
+        return dc._ks_cache[ck]
+    assert dc.ntt_mode != "jnp", "limb path runs the Pallas kernel graphs"
+    p = dc.params
+    alpha, L = p.alpha, p.max_level
+    qn = p.q_arr  # uint64 [K], main rows then specials
+    sm = _ceil_div(level, ns)
+    sa = _ceil_div(alpha, ns)
+    B = sa + sm
+
+    # Padded absolute param-row lists (pad = duplicate of the last real row;
+    # pad DATA rows are masked at the output and never feed a real row).
+    main_rows = [min(m, level - 1) for m in range(ns * sm)]
+    sp_rows = [L + min(j, alpha - 1) for j in range(ns * sa)]
+    ext_rows = []  # absolute rows, device-blocked [specials_i, mains_i]
+    for i in range(ns):
+        ext_rows += sp_rows[i * sa:(i + 1) * sa]
+        ext_rows += main_rows[i * sm:(i + 1) * sm]
+
+    owner_zl = (level - 1) // sm
+    j_zl = (level - 1) - owner_zl * sm
+
+    def _pair(w_plain: np.ndarray, qrows: np.ndarray):
+        w = np.atleast_1d(np.asarray(w_plain, dtype=np.uint64))
+        qq = np.atleast_1d(np.asarray(qrows, dtype=np.uint64))
+        return (
+            jnp.asarray(w.astype(np.uint32)),
+            jnp.asarray(((w << np.uint64(32)) // qq).astype(np.uint32)),
+        )
+
+    mr = np.array(main_rows)
+    sr = np.array(sp_rows)
+    er = np.array(ext_rows)
+
+    # ModUp digit tables: per device, the full conversion matrix rows of its
+    # ext block (own rows included — contraction-exact, see module doc).
+    digits = []
+    for d in range(p.beta(level)):
+        lo, hi = p.digit_range(level, d)
+        s1_pl, s1_sh = _pair(p.ks.modup_step1[(level, d)], qn[lo:hi])
+        full_mat = p.ks.modup_step2[(level, d)]  # [K, nd+1], param row order
+        mats, hshs = [], []
+        for i in range(ns):
+            blk = er[i * B:(i + 1) * B]
+            mb, hs = build_bf16_tables(full_mat[blk], qn[blk])
+            mats.append(mb)
+            hshs.append(hs)
+        digits.append(LimbDigitTables(
+            step1_pl=s1_pl, step1_sh=s1_sh,
+            in_q=jnp.asarray(qn[lo:hi].astype(np.uint32)),
+            mat_bf16=jnp.concatenate(mats, axis=0),
+            horner_sh=jnp.concatenate(hshs, axis=0),
+            lo=lo, hi=hi,
+        ))
+
+    # ModDown conversion (hrotate): rows = main blocks, input = alpha
+    # specials + in-kernel centering row.
+    md_mats, md_hshs = [], []
+    for i in range(ns):
+        blk = mr[i * sm:(i + 1) * sm]
+        mb, hs = build_bf16_tables(p.ks.moddown_step2[blk], qn[blk])
+        md_mats.append(mb)
+        md_hshs.append(hs)
+
+    # Fused ModDown+Rescale tail (hmult): same construction as
+    # context.DeviceContext.keyswitch_tables' TailTables, but rows sliced
+    # per device block; rows >= level-1 are zero (dropped limb + padding).
+    lm1 = level - 1
+    q_last = int(qn[lm1])
+    Pprod = p.p_prod
+    p_modq = np.array([Pprod % int(q) for q in qn], dtype=np.uint64)
+    pq_inv = np.ones(ns * sm, dtype=np.uint64)
+    for i in range(lm1):
+        pq_inv[i] = pow((Pprod * q_last) % int(qn[i]), -1, int(qn[i]))
+    tail_mat = np.zeros((ns * sm, alpha + 2), dtype=np.uint64)
+    tail_mat[:lm1, : alpha + 1] = p.ks.moddown_step2[:lm1]
+    tail_mat[:lm1, alpha + 1] = p_modq[:lm1]
+    t_mats, t_hshs = [], []
+    for i in range(ns):
+        mb, hs = build_bf16_tables(
+            tail_mat[i * sm:(i + 1) * sm], qn[mr[i * sm:(i + 1) * sm]]
+        )
+        t_mats.append(mb)
+        t_hshs.append(hs)
+    sp_qn = qn[L: L + alpha]
+    in_q_tail = np.concatenate(
+        [sp_qn, sp_qn[:1], np.array([q_last], dtype=np.uint64)]
+    )
+    one_tail_pl, one_tail_sh = _pair(
+        np.ones(alpha + 2, dtype=np.uint64), in_q_tail
+    )
+    md2l_pl, md2l_sh = _pair(
+        p.ks.moddown_step2[lm1], np.full(alpha + 1, q_last, dtype=np.uint64)
+    )
+    pinv_l_pl, pinv_l_sh = _pair(
+        p.ks.pinv_modq[lm1:lm1 + 1], np.array([q_last], dtype=np.uint64)
+    )
+
+    # tailzl basis: per device, its specials rows + its zl slot row (the
+    # main prime at local index j_zl — only the owner's slot is real).
+    tailzl_rows = []
+    for i in range(ns):
+        tailzl_rows += sp_rows[i * sa:(i + 1) * sa]
+        tailzl_rows.append(main_rows[i * sm + j_zl])
+
+    p_pl, p_sh = _pair(p_modq[mr], qn[mr])
+    T = LimbTables(
+        q_main=jnp.asarray(qn[mr].astype(np.uint32)),
+        qinv_main=jnp.asarray(p.qinv_neg[mr].astype(np.uint32)),
+        r2_main=jnp.asarray(p.r2[mr].astype(np.uint32)),
+        p_pl=p_pl, p_sh=p_sh,
+        pqinv_pl=_pair(pq_inv, qn[mr])[0],
+        pqinv_sh=_pair(pq_inv, qn[mr])[1],
+        pinv_pl=_pair(p.ks.pinv_modq[mr], qn[mr])[0],
+        pinv_sh=_pair(p.ks.pinv_modq[mr], qn[mr])[1],
+        q_sp=jnp.asarray(qn[sr].astype(np.uint32)),
+        md1_pl=_pair(p.ks.moddown_step1[sr - L], qn[sr])[0],
+        md1_sh=_pair(p.ks.moddown_step1[sr - L], qn[sr])[1],
+        q_ext=jnp.asarray(qn[er].astype(np.uint32)),
+        qinv_ext=jnp.asarray(p.qinv_neg[er].astype(np.uint32)),
+        main_nt=dc.ntt_basis(tuple(main_rows)),
+        sp_nt=dc.ntt_basis(tuple(sp_rows)),
+        ext_nt=dc.ntt_basis(tuple(ext_rows)),
+        tailzl_nt=dc.ntt_basis(tuple(tailzl_rows)),
+        digits=tuple(digits),
+        md_bf16=jnp.concatenate(md_mats, axis=0),
+        md_hsh=jnp.concatenate(md_hshs, axis=0),
+        one_sp_pl=_pair(np.ones(alpha, dtype=np.uint64), sp_qn)[0],
+        one_sp_sh=_pair(np.ones(alpha, dtype=np.uint64), sp_qn)[1],
+        q_sp_full=jnp.asarray(sp_qn.astype(np.uint32)),
+        tail_bf16=jnp.concatenate(t_mats, axis=0),
+        tail_hsh=jnp.concatenate(t_hshs, axis=0),
+        one_tail_pl=one_tail_pl, one_tail_sh=one_tail_sh,
+        in_q_tail=jnp.asarray(in_q_tail.astype(np.uint32)),
+        md2l_pl=md2l_pl, md2l_sh=md2l_sh,
+        pinv_last_pl=pinv_l_pl[0], pinv_last_sh=pinv_l_sh[0],
+        q_last=jnp.uint32(q_last),
+        level=level, ns=ns, alpha=alpha, sa=sa, sm=sm,
+        owner_zl=owner_zl, j_zl=j_zl,
+        interpret=dc.ntt_mode == "interpret",
+    )
+    dc._ks_cache[ck] = T
+    return T
+
+
+# --------------------------------------------------------------------------
+# PartitionSpec tree (axis 0 of every row-laid-out array over 'limb')
+# --------------------------------------------------------------------------
+def _ntt_specs_rows(nb: NttBasis, axis: str) -> NttBasis:
+    def lead(a):
+        if getattr(a, "size", 1) == 0:
+            return P()
+        return P(*((axis,) + (None,) * (a.ndim - 1)))
+
+    return NttBasis(
+        q=lead(nb.q), qinv=lead(nb.qinv), r2=lead(nb.r2),
+        stage1=tuple(lead(s) for s in nb.stage1),
+        tw_mid=lead(nb.tw_mid),
+        stage2=tuple(lead(s) for s in nb.stage2),
+        istage1=tuple(lead(s) for s in nb.istage1),
+        tw_mid_inv=lead(nb.tw_mid_inv),
+        istage2=tuple(lead(s) for s in nb.istage2),
+        pfwd=tuple(lead(a) for a in nb.pfwd),
+        pinv=tuple(lead(a) for a in nb.pinv),
+        n1=nb.n1, n2=nb.n2, use_pallas=nb.use_pallas,
+        interpret=nb.interpret, shard_axis=nb.shard_axis,
+    )
+
+
+def _limb_specs(T: LimbTables, axis: str) -> LimbTables:
+    sh = P(axis)  # row-sharded vector
+
+    def digit_specs(dt: LimbDigitTables) -> LimbDigitTables:
+        return LimbDigitTables(
+            step1_pl=P(), step1_sh=P(), in_q=P(),
+            mat_bf16=P(axis, None), horner_sh=sh,
+            lo=dt.lo, hi=dt.hi,
+        )
+
+    return LimbTables(
+        q_main=sh, qinv_main=sh, r2_main=sh, p_pl=sh, p_sh=sh,
+        pqinv_pl=sh, pqinv_sh=sh, pinv_pl=sh, pinv_sh=sh,
+        q_sp=sh, md1_pl=sh, md1_sh=sh,
+        q_ext=sh, qinv_ext=sh,
+        main_nt=_ntt_specs_rows(T.main_nt, axis),
+        sp_nt=_ntt_specs_rows(T.sp_nt, axis),
+        ext_nt=_ntt_specs_rows(T.ext_nt, axis),
+        tailzl_nt=_ntt_specs_rows(T.tailzl_nt, axis),
+        digits=tuple(digit_specs(dt) for dt in T.digits),
+        md_bf16=P(axis, None), md_hsh=sh,
+        one_sp_pl=P(), one_sp_sh=P(), q_sp_full=P(),
+        tail_bf16=P(axis, None), tail_hsh=sh,
+        one_tail_pl=P(), one_tail_sh=P(), in_q_tail=P(),
+        md2l_pl=P(), md2l_sh=P(), pinv_last_pl=P(), pinv_last_sh=P(),
+        q_last=P(),
+        level=T.level, ns=T.ns, alpha=T.alpha, sa=T.sa, sm=T.sm,
+        owner_zl=T.owner_zl, j_zl=T.j_zl, interpret=T.interpret,
+    )
+
+
+# --------------------------------------------------------------------------
+# SPMD bodies (inside shard_map; all arrays are LOCAL row blocks)
+# --------------------------------------------------------------------------
+def _modup_ip_limb(d_eval, evk, T: LimbTables, axis: str):
+    """ModUp + digit inner product, rows sharded. d_eval: [sm, n2, n1]
+    local eval rows of the poly to switch; evk: [dnum, 2, B, n2, n1] local
+    ext-row block of the key. Returns (acc0, acc1), each [B, n2, n1] —
+    COMPLETE accumulator rows for this device's ext block (no reduction:
+    the contraction over digits is local because every device holds all
+    digits' matrix rows for its block).
+
+    ONE collective: all_gather of the coeff-domain input rows (every digit
+    contraction reads all of its digit's rows). The reference's ModUpINTT
+    -> BConv -> ModUpNTT phases run here as local whole transforms per row
+    (Driver.h:155-163 limb dispatch) + the fused bconv kernel.
+    """
+    c_my = intt(d_eval, T.main_nt)  # [sm, n1, n2] local coeff rows
+    c_full = jax.lax.all_gather(c_my, axis, axis=0, tiled=True)
+    q_ext = T.q_ext[:, None, None]
+    qi_ext = T.qinv_ext[:, None, None]
+    t0s, t1s = [], []
+    for d, dt in enumerate(T.digits):
+        conv = bconv_fused(
+            c_full[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh, dt.in_q,
+            dt.mat_bf16, dt.horner_sh, T.q_ext,
+            interpret=T.interpret, center=True,
+        )  # [B, n1, n2]: my ext rows (own rows exact)
+        conv_eval = ntt(conv, T.ext_nt)  # [B, n2, n1]
+        t0s.append(mont_mul_lazy(conv_eval, evk[d, 0], q_ext, qi_ext))
+        t1s.append(mont_mul_lazy(conv_eval, evk[d, 1], q_ext, qi_ext))
+    return lazy_sum_reduce(t0s, q_ext), lazy_sum_reduce(t1s, q_ext)
+
+
+def _row_ids(T: LimbTables, axis: str):
+    i = jax.lax.axis_index(axis).astype(jnp.int32)
+    return (i * T.sm + jnp.arange(T.sm, dtype=jnp.int32))[:, None, None]
+
+
+def _hmult_limb_body(a, b, evk, T: LimbTables, *, axis: str):
+    """Row-sharded hmult: tensor product (row-local) -> ModUp+IP
+    (_modup_ip_limb) -> fused ModDown+relin+Rescale tails, each stage
+    row-local around two all_gathers. Bit-identical (on real rows) to
+    api.hmult_graph; mirrors HMULT's program (src/Operation.cpp:913-1112)
+    under the reference's limb dispatch (Driver.h:155-191)."""
+    q = T.q_main[:, None, None]
+    qi = T.qinv_main[:, None, None]
+    r2 = T.r2_main[:, None, None]
+    a0m = to_mont(a[0], r2, q, qi)
+    a1m = to_mont(a[1], r2, q, qi)
+    d0 = mont_mul(b[0], a0m, q, qi)
+    d1 = modadd(mont_mul(b[1], a0m, q, qi), mont_mul(b[0], a1m, q, qi), q)
+    d2 = mont_mul(b[1], a1m, q, qi)
+    acc0, acc1 = _modup_ip_limb(d2, evk, T, axis)
+
+    # --- fused ModDown + relin add + Rescale, rows sharded ---------------
+    # Per key: local specials iNTT + the zl slot (Z mod q_last row; only
+    # the owner's slot is real), ONE all_gather of [2, sa+1] row blocks,
+    # then w / conv_last replicated (single-row math) and the tail
+    # conversion + NTT on this device's main rows. Bit-identical to
+    # ops/keyswitch.moddown_rescale (same flooring path).
+    sa, sm, alpha = T.sa, T.sm, T.alpha
+    q_last = T.q_last
+    gs, acc_mains = [], []
+    for acc, dd in ((acc0, d0), (acc1, d1)):
+        acc_sp, acc_main = acc[:sa], acc[sa:]
+        q_zl = T.q_main[T.j_zl]
+        zl_eval = modadd(
+            acc_main[T.j_zl],
+            shoup_mul(dd[T.j_zl], T.p_pl[T.j_zl], T.p_sh[T.j_zl], q_zl),
+            q_zl,
+        )
+        xc = intt(
+            jnp.concatenate([acc_sp, zl_eval[None]], axis=0), T.tailzl_nt
+        )  # [sa+1, n1, n2]
+        bhat_my = shoup_mul(
+            xc[:sa], T.md1_pl[:, None, None], T.md1_sh[:, None, None],
+            T.q_sp[:, None, None],
+        )
+        gs.append(jnp.concatenate([bhat_my, xc[sa:]], axis=0))
+        acc_mains.append(acc_main)
+    g = jnp.stack(gs)  # [2, sa+1, n1, n2]
+    gf = jax.lax.all_gather(g, axis, axis=1, tiled=True)
+    ns = T.ns
+    idx_sp = np.concatenate(
+        [np.arange(i * (sa + 1), i * (sa + 1) + sa) for i in range(ns)]
+    )
+    bhat = gf[:, idx_sp][:, :alpha]  # [2, alpha, n1, n2] (real specials)
+    zl_coeff = gf[:, T.owner_zl * (sa + 1) + sa]  # [2, n1, n2]
+    th = ((T.q_sp_full >> 1) + 1)[None, :, None, None]
+    v = jnp.sum((bhat >= th).astype(jnp.uint32), axis=1, keepdims=True)
+    bhat_ext = jnp.concatenate([bhat, v], axis=1)  # [2, alpha+1, n1, n2]
+    terms = shoup_mul_lazy(
+        bhat_ext, T.md2l_pl[None, :, None, None],
+        T.md2l_sh[None, :, None, None], q_last,
+    )
+    conv_last = lazy_tree_sum(terms.swapaxes(0, 1), q_last)  # [2, n1, n2]
+    w = shoup_mul(
+        modsub(zl_coeff, conv_last, q_last),
+        T.pinv_last_pl, T.pinv_last_sh, q_last,
+    )
+    rows = _row_ids(T, axis)
+    outs = []
+    for k, dd in enumerate((d0, d1)):
+        xin = jnp.concatenate([bhat_ext[k], w[k][None]], axis=0)
+        conv = bconv_fused(
+            xin, T.one_tail_pl, T.one_tail_sh, T.in_q_tail,
+            T.tail_bf16, T.tail_hsh, T.q_main,
+            interpret=T.interpret, center=False,
+        )  # [sm, n1, n2]: my output rows (>= level-1 rows are zero-matrix)
+        e = ntt(conv, T.main_nt)
+        z = modadd(
+            acc_mains[k],
+            shoup_mul(dd, T.p_pl[:, None, None], T.p_sh[:, None, None], q),
+            q,
+        )
+        o = shoup_mul(
+            modsub(z, e, q), T.pqinv_pl[:, None, None],
+            T.pqinv_sh[:, None, None], q,
+        )
+        outs.append(jnp.where(rows < T.level - 1, o, jnp.uint32(0)))
+    return jnp.stack(outs)
+
+
+def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str):
+    """Row-sharded hrotate: the automorphism is a ROW-LOCAL gather (zero
+    ICI — the reference dispatches AUTO by limb for the same reason,
+    Driver.h:178 / include/Components.h:201-238), then ModUp+IP and a
+    row-sharded ModDown around one bhat all_gather."""
+    r0 = automorph_eval(a[0], perm)
+    r1 = automorph_eval(a[1], perm)
+    acc0, acc1 = _modup_ip_limb(r1, rotk, T, axis)
+    sa, alpha = T.sa, T.alpha
+    q = T.q_main[:, None, None]
+    bh = []
+    for acc in (acc0, acc1):
+        xc = intt(acc[:sa], T.sp_nt)
+        bh.append(shoup_mul(
+            xc, T.md1_pl[:, None, None], T.md1_sh[:, None, None],
+            T.q_sp[:, None, None],
+        ))
+    gf = jax.lax.all_gather(jnp.stack(bh), axis, axis=1, tiled=True)
+    bhat = gf[:, :alpha]  # [2, alpha, n1, n2]
+    es = []
+    for k, acc in enumerate((acc0, acc1)):
+        conv = bconv_fused(
+            bhat[k], T.one_sp_pl, T.one_sp_sh, T.q_sp_full,
+            T.md_bf16, T.md_hsh, T.q_main,
+            interpret=T.interpret, center=True,
+        )  # [sm, n1, n2]
+        ce = ntt(conv, T.main_nt)
+        es.append(shoup_mul(
+            modsub(acc[sa:], ce, q), T.pinv_pl[:, None, None],
+            T.pinv_sh[:, None, None], q,
+        ))
+    rows = _row_ids(T, axis)
+    out0 = jnp.where(rows < T.level, modadd(r0, es[0], q), jnp.uint32(0))
+    out1 = jnp.where(rows < T.level, es[1], jnp.uint32(0))
+    return jnp.stack([out0, out1])
+
+
+# --------------------------------------------------------------------------
+# Builders + host-layout helpers
+# --------------------------------------------------------------------------
+def make_limb_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
+                    axis: str = "limb"):
+    """jitted f(a_pad, b_pad, evk_limb) -> out_pad over `mesh`: the limb
+    (RNS row) axis of ciphertexts and the ext-row axis of the evk sharded
+    over mesh axis `axis`. Use pad_ct / evk_limb_order for the layouts;
+    out rows [0, level-1) are the hmult result, the rest zero."""
+    ns = mesh.shape[axis]
+    T = build_limb_tables(dc, level, ns)
+    T_sp = _limb_specs(T, axis)
+    ct_sp = P(None, axis, None, None)
+    evk_sp = P(None, None, axis, None, None)
+    f = jax.shard_map(
+        functools.partial(_hmult_limb_body, axis=axis), mesh=mesh,
+        in_specs=(ct_sp, ct_sp, evk_sp, T_sp),
+        out_specs=ct_sp,
+        check_vma=False,
+    )
+    return jax.jit(lambda a, b, evk: f(a, b, evk, T))
+
+
+def make_limb_hrotate(dc: DeviceContext, level: int, mesh: Mesh, *,
+                      axis: str = "limb"):
+    """jitted f(a_pad, perm, rotk_limb) -> out_pad (see make_limb_hmult);
+    out rows [0, level) are the hrotate result, the rest zero."""
+    ns = mesh.shape[axis]
+    T = build_limb_tables(dc, level, ns)
+    T_sp = _limb_specs(T, axis)
+    ct_sp = P(None, axis, None, None)
+    evk_sp = P(None, None, axis, None, None)
+    f = jax.shard_map(
+        functools.partial(_hrotate_limb_body, axis=axis), mesh=mesh,
+        in_specs=(ct_sp, P(), evk_sp, T_sp),
+        out_specs=ct_sp,
+        check_vma=False,
+    )
+    return jax.jit(lambda a, perm, rotk: f(a, perm, rotk, T))
+
+
+def pad_main_rows(data: jnp.ndarray, level: int, ns: int) -> jnp.ndarray:
+    """[..., level, R, C] -> [..., ns*ceil(level/ns), R, C], zero pad rows."""
+    sm = _ceil_div(level, ns)
+    pad = ns * sm - level
+    if pad == 0:
+        return data
+    widths = [(0, 0)] * (data.ndim - 3) + [(0, pad), (0, 0), (0, 0)]
+    return jnp.pad(data, widths)
+
+
+def evk_limb_row_order(params, level: int, ns: int) -> np.ndarray:
+    """Row gather indices mapping the uploaded specials-first evk
+    ([dnum, 2, K, R, C], rows = [alpha specials, max_level mains]) to the
+    limb-ext device-blocked order (pad rows duplicate the last real row;
+    their IP products land on masked output rows)."""
+    alpha = params.alpha
+    sm = _ceil_div(level, ns)
+    sa = _ceil_div(alpha, ns)
+    order = []
+    for i in range(ns):
+        for j in range(i * sa, (i + 1) * sa):
+            order.append(min(j, alpha - 1))
+        for m in range(i * sm, (i + 1) * sm):
+            order.append(alpha + min(m, level - 1))
+    return np.array(order, dtype=np.int64)
+
+
+def ici_bytes_per_op_limb(params, level: int, ns: int,
+                          op: str = "hmult") -> int:
+    """EXACT per-device ICI receive volume (bytes) of one limb-sharded op —
+    the counterpart of sharded.ici_bytes_per_op for the limb dispatch,
+    reconciled against the lowered HLO by tests/test_sharding.py.
+
+    Three all_gathers (hmult) / two (hrotate), each receiving (ns-1) x the
+    local row block of N*4-byte rows:
+      modup input rows:    sm = ceil(level/ns)      (coeff-domain gather)
+      tail/bhat rows:      2*(sa+1) hmult | 2*sa hrotate,
+                           sa = ceil(alpha/ns)      (both key components)
+    The automorphism and every NTT are device-local: zero per-transform
+    traffic (the coeff path pays one all_to_all per transform instead).
+    """
+    n = params.n
+    sm = _ceil_div(level, ns)
+    sa = _ceil_div(params.alpha, ns)
+    if op == "hmult":
+        rows = sm + 2 * (sa + 1)
+    elif op == "hrotate":
+        rows = sm + 2 * sa
+    else:
+        raise ValueError(op)
+    return (ns - 1) * rows * n * 4

@@ -25,13 +25,18 @@ def test_cli_single_chip_ops_verify(op, capsys):
 
 
 @pytest.mark.parametrize("op,expect", [
-    ("hmult", "dispatch=shard_map+pallas"),
-    ("hrotate", "dispatch=shard_map+pallas"),
+    # auto picks the axis with the smaller exact per-device ICI volume; at
+    # the tiny shape that is coeff for hmult (24 transforms * small tiles
+    # < the limb row gathers) and limb for hrotate (the coeff path's two
+    # automorphism all_gathers dominate; on the limb axis AUTO is free).
+    ("hmult", "dispatch=shard_map+pallas axis=coeff"),
+    ("hrotate", "dispatch=shard_map+pallas axis=limb"),
     ("hadd", "dispatch=gspmd"),
 ])
 def test_cli_cluster_dispatch(op, expect, capsys):
-    """The 6th positional routes key-switch ops to the shard_map+Pallas
-    performance path (with ICI volume reported) and others to GSPMD."""
+    """The 6th positional routes key-switch ops to a shard_map+Pallas
+    performance path — the dispatch AXIS picked by exact ICI volume, both
+    volumes printed — and others to GSPMD."""
     rc = cli.main(
         ["run", CFG, op, "8", "4", "4", "2", "--verify", "--iters", "1",
          "--platform", "cpu"]
@@ -39,8 +44,36 @@ def test_cli_cluster_dispatch(op, expect, capsys):
     outp = capsys.readouterr().out
     assert rc == 0, outp
     assert expect in outp
-    if expect == "dispatch=shard_map+pallas":
+    if "shard_map" in expect:
         assert "ici_bytes_per_device" in outp
+        assert "ici/device: limb=" in outp  # the bake-off line
+
+
+@pytest.mark.parametrize("op,axis,cluster", [
+    # coeff at cluster 2 only: at ns=4 the tiny 16x16 tile breaks the
+    # kernel-shape guard (16/4 < 8) — itself covered below.
+    ("hmult", "limb", "4"), ("hmult", "coeff", "2"),
+    ("hrotate", "limb", "4"), ("hrotate", "coeff", "2"),
+])
+def test_cli_forced_dispatch(op, axis, cluster, capsys):
+    """--dispatch forces either explicit-collective axis; both
+    decrypt-verify on the virtual mesh."""
+    rc = cli.main(
+        ["run", CFG, op, "8", "4", "4", cluster, "--verify", "--iters", "1",
+         "--platform", "cpu", "--dispatch", axis]
+    )
+    outp = capsys.readouterr().out
+    assert rc == 0, outp
+    assert f"dispatch=shard_map+pallas axis={axis}" in outp
+    assert "(forced)" in outp
+    assert "verify max-abs-err" in outp
+
+
+def test_cli_forced_coeff_rejects_bad_tiles():
+    """Forcing coeff past the kernel-shape guard fails loudly, not wrongly."""
+    with pytest.raises(SystemExit, match="dispatch coeff"):
+        cli.main(["run", CFG, "hmult", "8", "4", "4", "4", "--iters", "1",
+                  "--platform", "cpu", "--dispatch", "coeff"])
 
 
 def test_cli_unknown_op():

@@ -292,3 +292,86 @@ def test_ici_bytes_reconcile_with_hlo(pallas_engine, op):
     measured = ici_bytes_from_lowered(lowered.as_text(), ns)
     analytic = ici_bytes_per_op(eng.params, level, ns, op)
     assert measured == analytic, (op, measured, analytic)
+
+
+# ---------------------------------------------------------------------------
+# Limb-axis dispatch (parallel/limb_sharded.py — the reference's primary
+# dispatch, Driver.h:155-191: transforms whole per device, rows distributed)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("ns,level", [(2, 8), (4, 8), (8, 8), (4, 7), (8, 5)])
+def test_limb_hmult_matches_single_chip(pallas_engine, ns, level):
+    """Row-sharded hmult == single-chip on real rows, zeros on pad rows —
+    including non-divisible levels (7, 5: padded blocks)."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_limb_hmult, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    if ns > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(shape=(ns,), n_devices=ns, axis_names=("limb",))
+    a = _batch(eng, level, 1, seed=41)[0]
+    b = _batch(eng, level, 1, seed=42)[0]
+    order = evk_limb_row_order(eng.params, level, ns)
+    evk_l = jnp.take(eng.relin_key, jnp.asarray(order), axis=2)
+    f = make_limb_hmult(eng.dc, level, mesh)
+    out = np.asarray(f(pad_main_rows(a, level, ns),
+                       pad_main_rows(b, level, ns), evk_l))
+    ref = _hmult_ref(eng, a, b, level)
+    assert np.array_equal(out[:, : level - 1], ref), (ns, level)
+    assert not out[:, level - 1:].any(), "pad rows must be zeroed"
+
+
+@pytest.mark.parametrize("ns,level", [(2, 8), (4, 8), (8, 8), (4, 6)])
+def test_limb_hrotate_matches_single_chip(pallas_engine, ns, level):
+    """Row-sharded hrotate == single-chip; the automorphism is row-local
+    (zero ICI on this axis — why the reference dispatches AUTO by limb)."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_limb_hrotate, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    if ns > len(jax.devices()):
+        pytest.skip("needs 8 virtual devices")
+    step = 3
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(ns,), n_devices=ns, axis_names=("limb",))
+    a = _batch(eng, level, 1, seed=43)[0]
+    perm = eng.dc.automorph_perm(eng.params.galois_elt(step))
+    order = evk_limb_row_order(eng.params, level, ns)
+    rotk_l = jnp.take(eng.rot_keys[step], jnp.asarray(order), axis=2)
+    f = make_limb_hrotate(eng.dc, level, mesh)
+    out = np.asarray(f(pad_main_rows(a, level, ns), perm, rotk_l))
+    ref = np.asarray(_hrotate_graph(a, perm, eng.rot_keys[step],
+                                    eng.dc.keyswitch_tables(level)))
+    assert np.array_equal(out[:, :level], ref), (ns, level)
+    assert not out[:, level:].any(), "pad rows must be zeroed"
+
+
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_limb_ici_bytes_reconcile_with_hlo(pallas_engine, op):
+    """ici_bytes_per_op_limb == bytes counted over the all_gathers of the
+    LOWERED limb-sharded program (same discipline as the coeff path)."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, ici_bytes_per_op_limb, make_limb_hmult,
+        make_limb_hrotate, pad_main_rows,
+    )
+    from homulator_tpu.parallel.sharded import ici_bytes_from_lowered
+
+    eng = pallas_engine
+    level = 8
+    ns = 4
+    mesh = make_mesh(shape=(ns,), n_devices=ns, axis_names=("limb",))
+    a = _batch(eng, level, 1, seed=44)[0]
+    a_p = pad_main_rows(a, level, ns)
+    order = evk_limb_row_order(eng.params, level, ns)
+    evk_l = jnp.take(eng.relin_key, jnp.asarray(order), axis=2)
+    if op == "hmult":
+        lowered = make_limb_hmult(eng.dc, level, mesh).lower(a_p, a_p, evk_l)
+    else:
+        eng.gen_rotation_key(1)
+        perm = eng.dc.automorph_perm(eng.params.galois_elt(1))
+        lowered = make_limb_hrotate(eng.dc, level, mesh).lower(a_p, perm, evk_l)
+    measured = ici_bytes_from_lowered(lowered.as_text(), ns)
+    analytic = ici_bytes_per_op_limb(eng.params, level, ns, op)
+    assert measured == analytic, (op, measured, analytic)
