@@ -256,10 +256,14 @@ def run_op(args) -> int:
                     data, rc.level - 1,
                     ct1.scale * ct2.scale / params.qs[rc.level - 1],
                 )
-            perm = eng.dc.automorph_perm(params.galois_elt(1))
-            data = shardmap_fn(ct1.data, perm, eng.rot_keys[1])
             if dispatch == "limb":
+                perm = eng.dc.automorph_perm(params.galois_elt(1))
+                data = shardmap_fn(ct1.data, perm, eng.rot_keys[1])
                 data = data[:, : rc.level]
+            else:
+                route = eng.dc.automorph_shard_route(
+                    params.galois_elt(1), n_mesh)
+                data = shardmap_fn(ct1.data, route, eng.rot_keys[1])
             return Ciphertext(data, rc.level, ct1.scale)
         if rc.op == "hmult":
             return eng.hmult(ct1, ct2)

@@ -545,6 +545,27 @@ class DeviceContext:
             self._perm_cache[g] = jnp.asarray(self.params.automorph_eval_perm(g))
         return self._perm_cache[g]
 
+    def automorph_shard_route(self, g: int, ns: int):
+        """(local_src, perm_pairs, is_identity) shard-permutation route for
+        sigma_g on an ns-way column-sharded eval tile
+        (ops/automorph.build_shard_route); cached per (g, ns). The column
+        map is block-aligned in our bit-reversed eval order, so the
+        cross-device part is ONE whole-shard ppermute (or nothing when the
+        block map is the identity); perm_pairs is the static pair tuple."""
+        key = ("sroute", g, ns)
+        if key not in self._perm_cache:
+            from .ops.automorph import build_shard_route
+
+            t = self.params.ntt
+            src_dev, local_src, ident = build_shard_route(
+                self.params.automorph_eval_perm(g), t.n2, t.n1, ns
+            )
+            pairs = () if ident else tuple(
+                (int(src_dev[i]), i) for i in range(ns)
+            )
+            self._perm_cache[key] = (jnp.asarray(local_src), pairs, ident)
+        return self._perm_cache[key]
+
     def automorph_stage_maps(self, g: int):
         """3-stage (sublane/lane/sublane gather) maps for sigma_g on the
         [n2, n1] eval tile (ops/perm_decomp.py); cached per Galois elt."""

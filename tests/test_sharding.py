@@ -211,7 +211,7 @@ def test_shardmap_hmult_jnp_path(shard_engine):
 
 
 def test_shardmap_hrotate_pallas_matches_single_chip(pallas_engine):
-    """hrotate on the shard_map path: all_gather automorphism + sharded
+    """hrotate on the shard_map path: a2a-routed automorphism + sharded
     key switch, bit-exact vs the single-chip graph."""
     eng = pallas_engine
     level = 8
@@ -221,13 +221,55 @@ def test_shardmap_hrotate_pallas_matches_single_chip(pallas_engine):
     a = _batch(eng, level, 1, seed=17)[0]
     g = eng.params.galois_elt(step)
     perm = eng.dc.automorph_perm(g)
+    route = eng.dc.automorph_shard_route(g, 4)
     f = make_shardmap_hrotate(eng.dc, level, mesh)
-    out = np.asarray(f(a, perm, eng.rot_keys[step]))
+    out = np.asarray(f(a, route, eng.rot_keys[step]))
     ref = np.asarray(
         _hrotate_graph(a, perm, eng.rot_keys[step],
                        eng.dc.keyswitch_tables(level))
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("ns", [2, 4, 8])
+@pytest.mark.parametrize("step", [1, 3, 17])
+def test_automorph_shardperm_route_equals_gather_form(ns, step):
+    """The whole-shard ppermute automorphism route == the all_gather form
+    == the single-chip gather, element-exact, for several Galois elements
+    and mesh sizes (incl. conjugation)."""
+    import functools
+
+    from homulator_tpu.ops.automorph import (
+        automorph_eval, automorph_eval_shardperm, automorph_eval_sharded,
+    )
+
+    params = get_params(n=256, max_level=8, alpha=4)
+    eng = CkksEngine(params, seed=9, ntt_mode="jnp")
+    t = params.ntt
+    gs = [params.galois_elt(step), params.galois_conj]
+    for g in gs:
+        perm = eng.dc.automorph_perm(g)
+        local_src, pairs, _ = eng.dc.automorph_shard_route(g, ns)
+        mesh = make_mesh(shape=(ns,), n_devices=ns, axis_names=("c",))
+        rng = np.random.default_rng(int(g))
+        x = jnp.asarray(rng.integers(
+            0, 2**30, size=(3, t.n2, t.n1), dtype=np.uint64
+        ).astype(np.uint32))
+        f_route = jax.jit(jax.shard_map(
+            functools.partial(
+                automorph_eval_shardperm, perm_pairs=pairs, axis="c"),
+            mesh=mesh,
+            in_specs=(P(None, None, "c"), P("c", None)),
+            out_specs=P(None, None, "c"), check_vma=False,
+        ))
+        f_gather = jax.jit(jax.shard_map(
+            lambda v: automorph_eval_sharded(v, perm, "c"), mesh=mesh,
+            in_specs=(P(None, None, "c"),),
+            out_specs=P(None, None, "c"), check_vma=False,
+        ))
+        want = np.asarray(automorph_eval(x, perm))
+        assert np.array_equal(np.asarray(f_route(x, local_src)), want), (g, ns)
+        assert np.array_equal(np.asarray(f_gather(x)), want), (g, ns)
 
 
 def test_graft_entry_dryrun():
@@ -286,9 +328,11 @@ def test_ici_bytes_reconcile_with_hlo(pallas_engine, op):
         lowered = jax.jit(f).lower(a, a, eng.relin_key)
     else:
         eng.gen_rotation_key(1)
-        perm = eng.dc.automorph_perm(eng.params.galois_elt(1))
+        route = eng.dc.automorph_shard_route(eng.params.galois_elt(1), ns)
+        # the analytic formula counts the non-identity ppermute worst case
+        assert route[1], "test step must induce a non-identity block map"
         f = make_shardmap_hrotate(eng.dc, level, mesh)
-        lowered = jax.jit(f).lower(a, perm, eng.rot_keys[1])
+        lowered = f.lower(a, route, eng.rot_keys[1])
     measured = ici_bytes_from_lowered(lowered.as_text(), ns)
     analytic = ici_bytes_per_op(eng.params, level, ns, op)
     assert measured == analytic, (op, measured, analytic)
