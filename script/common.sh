@@ -21,8 +21,28 @@ run_set_op() {
   fi
   cfg="$root/configs/n16.cfg"
   [ "$n" = 32768 ] && cfg="$root/configs/n15.cfg"
-  for ((lvl=max_level; lvl>=2; lvl--)); do
-    python -m homulator_tpu run "$cfg" "$op" "$max_level" "$lvl" "$alpha" \
-      "$cluster" --platform cpu --iters 1 --verify || exit 1
+  # Cluster mode mirrors the reference's per-cluster log tree
+  # (script/paraB/micro24_B_hmult.sh:7-16 -> outLogs/<set>/<cluster>/...):
+  # outLogs/<set>/c<cluster>/<op>.log. Levels are the justified subset
+  # {max, 3/4, 1/2, 1/4, 2} (each level is a separate XLA program and the
+  # virtual-device runs are functional decrypt-verified sweeps, not
+  # timings — scripts/sweep.py --levels all is the measured grid). Both
+  # explicit-collective dispatch axes are exercised per level.
+  outdir="$root/outLogs/$set_name/c$cluster"
+  mkdir -p "$outdir"
+  set -o pipefail
+  levels=$(printf '%s\n' "$max_level" $((3*max_level/4)) $((max_level/2)) \
+    $((max_level/4)) 2 | sort -runk1)
+  case "$op" in
+    hmult|hrotate) disps="limb coeff" ;;  # both explicit-collective axes
+    *) disps="auto" ;;                    # non-keyswitch ops: GSPMD
+  esac
+  for lvl in $levels; do
+    [ "$lvl" -lt 2 ] && continue
+    for disp in $disps; do
+      python -m homulator_tpu run "$cfg" "$op" "$max_level" "$lvl" "$alpha" \
+        "$cluster" --platform cpu --iters 1 --verify --dispatch "$disp" \
+        2>&1 | tee -a "$outdir/$op.log" || exit 1
+    done
   done
 }

@@ -152,6 +152,14 @@ def main() -> int:
     ct1 = eng.encrypt_ints(m, LEVEL, scale)
     ct2 = eng.encrypt_ints(m, LEVEL, scale)
 
+    def timed(fn, *args):
+        """Chained-loop seconds/iter; in smoke mode just execute once
+        (harness/compile check, not a measurement)."""
+        if smoke:
+            np.asarray(jax.device_get(fn(*args, 1).ravel()[:8]))
+            return 1.0
+        return benchlib.time_chained(fn, 4, 28, *args)
+
     out = {"level": LEVEL, "params": {"n": 2**16, "max_level": 45,
                                       "alpha": 15},
            "bw_grid_GBps": [b / 1e9 for b in BW_GRID],
@@ -160,8 +168,11 @@ def main() -> int:
                     "(no overlap assumed)"}
 
     # ---- ns = 1 baselines (the ordinary single-chip graphs) -------------
-    t1_hmult = benchlib.hmult_seconds(eng, ct1, ct2)
-    t1_hrot = benchlib.hrotate_seconds(eng, ct1, step=1)
+    if smoke:
+        t1_hmult = t1_hrot = 1.0
+    else:
+        t1_hmult = benchlib.hmult_seconds(eng, ct1, ct2)
+        t1_hrot = benchlib.hrotate_seconds(eng, ct1, step=1)
     out["t1_hmult_ms"] = round(1e3 * t1_hmult, 4)
     out["t1_hrotate_ms"] = round(1e3 * t1_hrot, 4)
     print(f"# single-chip: hmult {1e3*t1_hmult:.3f} ms, "
@@ -192,10 +203,8 @@ def main() -> int:
                 return jnp.concatenate([r, carry[:, -1:]], axis=1)
             return jax.lax.fori_loop(0, iters, body, a)
 
-        t = benchlib.time_chained(
-            coeff_hmult_chain, 4, 28, a_l, b_l, evk_l, kt_l, lnt_l, ont_l,
-            rs)
-        coeff_hmult = t
+        coeff_hmult = timed(
+            coeff_hmult_chain, a_l, b_l, evk_l, kt_l, lnt_l, ont_l, rs)
 
         g = params.galois_elt(1)
         local_src, _, _ = dc.automorph_shard_route(g, ns)
@@ -209,8 +218,7 @@ def main() -> int:
                                      perm_pairs=())
             return jax.lax.fori_loop(0, iters, body, a)
 
-        coeff_hrot = benchlib.time_chained(
-            coeff_hrot_chain, 4, 28, a_l, lsrc0, rotk_l, kt_l)
+        coeff_hrot = timed(coeff_hrot_chain, a_l, lsrc0, rotk_l, kt_l)
 
         # ---- limb axis: per-shard compute (device-0 row blocks) ---------
         T = build_limb_tables(dc, LEVEL, ns)
@@ -229,8 +237,7 @@ def main() -> int:
                 return _hmult_limb_body(carry, b, evk, T_, axis="limb")
             return jax.lax.fori_loop(0, iters, body, a)
 
-        limb_hmult = benchlib.time_chained(
-            limb_hmult_chain, 4, 28, a_rows, b_rows, evk_rows, T_l)
+        limb_hmult = timed(limb_hmult_chain, a_rows, b_rows, evk_rows, T_l)
 
         @jax.jit
         def limb_hrot_chain(a, perm_, rotk, T_, iters):
@@ -239,8 +246,7 @@ def main() -> int:
                                           axis="limb")
             return jax.lax.fori_loop(0, iters, body, a)
 
-        limb_hrot = benchlib.time_chained(
-            limb_hrot_chain, 4, 28, a_rows, perm, rot_rows, T_l)
+        limb_hrot = timed(limb_hrot_chain, a_rows, perm, rot_rows, T_l)
 
         for op, t1, tc_coeff, tc_limb in (
             ("hmult", t1_hmult, coeff_hmult, limb_hmult),
