@@ -40,9 +40,12 @@ run_set_op() {
   for lvl in $levels; do
     [ "$lvl" -lt 2 ] && continue
     for disp in $disps; do
-      python -m homulator_tpu run "$cfg" "$op" "$max_level" "$lvl" "$alpha" \
-        "$cluster" --platform cpu --iters 1 --verify --dispatch "$disp" \
-        2>&1 | tee -a "$outdir/$op.log" || exit 1
+      # run.sh cds into script/paraX/, so the package root must be on the
+      # import path explicitly.
+      PYTHONPATH="$root" python -m homulator_tpu run "$cfg" "$op" \
+        "$max_level" "$lvl" "$alpha" "$cluster" --platform cpu --iters 1 \
+        --verify --dispatch "$disp" 2>&1 | tee -a "$outdir/$op.log" \
+        || exit 1
     done
   done
 }

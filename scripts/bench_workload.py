@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""End-to-end encrypted-workload benchmark on the TPU: BSGS matvec.
+
+The workload-level number the reference (a per-op cycle simulator) could
+never produce: a d x d encrypted matrix-vector product — the standard
+CKKS serving kernel (one dense layer under encryption) — compiled as ONE
+XLA program at the canonical set-B parameters and timed as a chained
+on-device loop (homulator_tpu/benchlib.py methodology).
+
+Structure (examples/encrypted_matvec_bsgs.py, scaled up): diagonal method
+with baby-step/giant-step, g = sqrt(d); the g-1 baby rotations share one
+ModUp via Halevi-Shoup hoisting, each giant group pays one key switch:
+
+    y = sum_j rot( sum_i pdiag_{g*j+i} * rot(x, i), g*j )
+
+Decrypt-verified against the cleartext M @ x before timing. Appends one
+JSON line to outLogs/workloads/matvec_bsgs.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from homulator_tpu import benchlib
+    from homulator_tpu.api import (
+        CkksEngine, _hrotate_graph, _hrotate_hoisted_graph,
+    )
+    from homulator_tpu.ops.modmath import modadd, mont_mul, to_mont
+    from homulator_tpu.params import get_params
+
+    n, max_level, level, alpha = 65536, 45, 35, 15
+    d, g = 64, 8
+    scale = 2.0**29
+    params = get_params(n=n, max_level=max_level, alpha=alpha)
+    eng = CkksEngine(params, seed=7)
+    eng.keygen()
+    slots = n // 2
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(d, d)) / d
+    x = rng.normal(size=d)
+    x_slots = np.tile(x, slots // d)
+    ct_x = eng.encrypt_complex(x_slots, level, scale)
+
+    # Rotation keys: baby steps 1..g-1 (hoisted, one ModUp) and giant
+    # steps g*j.
+    baby_steps = list(range(1, g))
+    giant_steps = [g * j for j in range(1, d // g)]
+    for s in baby_steps + giant_steps:
+        eng.gen_rotation_key(s)
+    kt = eng.dc.keyswitch_tables(level)
+    baby_perms = tuple(eng.dc.automorph_perm(params.galois_elt(s))
+                       for s in baby_steps)
+    baby_rotks = tuple(eng.rot_keys[s] for s in baby_steps)
+    giant_perms = tuple(eng.dc.automorph_perm(params.galois_elt(s))
+                        for s in giant_steps)
+    giant_rotks = tuple(eng.rot_keys[s] for s in giant_steps)
+
+    # Pre-rotated diagonal plaintexts, stacked [d, level, n2, n1] and
+    # pre-lifted to Montgomery form (public data, one-time host prep).
+    t0 = time.perf_counter()
+    pts = []
+    for j in range(d // g):
+        for i in range(g):
+            k = g * j + i
+            diag_k = np.array([M[t % d, (t + k) % d] for t in range(d)])
+            pdiag = np.tile(np.roll(diag_k, g * j), slots // d)
+            pts.append(eng.plaintext_complex(pdiag, level, scale).data)
+    pt_stack = jnp.stack(pts)  # [d, level, n2, n1]
+    q, qinv, r2 = eng.dc.q_level(level)
+    q3, qi3, r23 = q[:, None, None], qinv[:, None, None], r2[:, None, None]
+    pt_mont = jax.jit(lambda p: to_mont(p, r23[None], q3[None], qi3[None]))(
+        pt_stack)
+    prep_s = time.perf_counter() - t0
+
+    def matvec(ct):
+        """The ENTIRE encrypted matvec as one traced graph."""
+        rots = _hrotate_hoisted_graph(ct, baby_perms, baby_rotks, kt)
+        baby = [ct] + [rots[i] for i in range(g - 1)]
+        acc = None
+        for j in range(d // g):
+            group = None
+            for i in range(g):
+                pm = pt_mont[g * j + i][None]  # [1, level, n2, n1]
+                term = mont_mul(baby[i], pm, q3[None], qi3[None])
+                group = term if group is None else modadd(
+                    group, term, q3[None])
+            if j > 0:
+                group = _hrotate_graph(
+                    group, giant_perms[j - 1], giant_rotks[j - 1], kt)
+            acc = group if acc is None else modadd(acc, group, q3[None])
+        return acc
+
+    # ---- verify (one real run, full decrypt) ----------------------------
+    from homulator_tpu.context import Ciphertext
+
+    t0 = time.perf_counter()
+    out = jax.jit(matvec)(ct_x.data)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    y = eng.decrypt_complex(
+        Ciphertext(out, level, scale * scale)).real[:d]
+    err = float(np.max(np.abs(y - M @ x)))
+    print(f"# verify max-abs-err = {err:.3e}")
+    assert err < 1e-2, err
+
+    # ---- chained timing -------------------------------------------------
+    @jax.jit
+    def chain(a, iters):
+        def body(_, carry):
+            return matvec(carry)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    sec = benchlib.time_chained(chain, 2, 10, ct_x.data)
+    ks = (1 + len(giant_steps))  # hoisted group + giants (key switches:
+    # the hoisted call pays g-1 inner products + moddowns on one ModUp)
+    rec = {
+        "workload": "matvec_bsgs", "n": n, "max_level": max_level,
+        "level": level, "alpha": alpha, "d": d, "g": g,
+        "e2e_ms": round(1e3 * sec, 3),
+        "keyswitches": len(baby_steps) + len(giant_steps),
+        "hoisted_modups": 1, "pmults": d,
+        "verify_err": err, "compile_s": round(compile_s, 1),
+        "host_prep_s": round(prep_s, 1),
+        "backend": jax.default_backend(),
+    }
+    os.makedirs(os.path.join(ROOT, "outLogs", "workloads"), exist_ok=True)
+    with open(os.path.join(ROOT, "outLogs", "workloads",
+                           "matvec_bsgs.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

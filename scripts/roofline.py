@@ -74,7 +74,9 @@ def main() -> int:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
@@ -334,9 +336,73 @@ def main() -> int:
         100 * results["hmult_achieved_modmul_per_s"]
         / results["peak_shoup_modmul_per_s"])
 
+    # Whole hrotate (the second headline keyswitch op, swept by every
+    # reference script set) — same min/med/max discipline.
+    lo, med, hi = sample_secs(
+        lambda: benchlib.hrotate_seconds(eng, ct1, step=1))
+    hr_sec = lo
+    put("hrotate_ms_sampled", lo * 1e3, med * 1e3, hi * 1e3)
+    hr_modmul = op_modmul_count("hrotate", n, level, alpha,
+                                params.beta(level))
+    results["hrotate_achieved_modmul_per_s"] = hr_modmul / hr_sec
+    results["hrotate_pct_of_shoup_peak"] = (
+        100 * results["hrotate_achieved_modmul_per_s"]
+        / results["peak_shoup_modmul_per_s"])
+
+    # Automorphism share of hrotate: chained sigma_g applications on the
+    # full hrotate working set [2, level, n2, n1] (both components, as the
+    # op applies it). Note the share overstates the op-level cost: the c0
+    # gather overlaps into the key switch's slack (BENCH_NOTES hrotate
+    # anatomy), so this is the standalone AUTOU cost, reference-style.
+    from homulator_tpu.ops.automorph import automorph_eval
+
+    perm1 = eng.dc.automorph_perm(params.galois_elt(1))
+
+    @jax.jit
+    def _auto_chain(x, p_, iters):
+        def body(_, y):
+            return automorph_eval(y, p_)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    both = jnp.stack([ct1.data[0], ct1.data[1]])
+    lo, med, hi = sample_secs(
+        lambda: benchlib.time_chained(_auto_chain, 8, 400, both, perm1))
+    put("automorph_both_components_ms", lo * 1e3, med * 1e3, hi * 1e3)
+    results["automorph_share_of_hrotate_pct"] = 100 * lo / hr_sec
+
+    # Hoisted-rotation amortization: k rotations of one ciphertext sharing
+    # ONE ModUp (Halevi-Shoup; api.hrotate_hoisted). Per-rotation ms vs k —
+    # the curve the hoisting exists to bend.
+    from homulator_tpu.api import _hrotate_hoisted_graph
+
+    for k in (1, 2, 4, 8):
+        steps = list(range(1, k + 1))
+        for s in steps:
+            if s not in eng.rot_keys:
+                eng.gen_rotation_key(s)
+        perms = tuple(eng.dc.automorph_perm(params.galois_elt(s))
+                      for s in steps)
+        rotks = tuple(eng.rot_keys[s] for s in steps)
+        kt_h = eng.dc.keyswitch_tables(level)
+
+        @jax.jit
+        def _hoist_chain(a, iters, perms=perms, rotks=rotks, kt_h=kt_h):
+            def body(_, y):
+                outs = _hrotate_hoisted_graph(y, perms, rotks, kt_h)
+                return outs[0]
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        lo, med, hi = sample_secs(
+            lambda: benchlib.time_chained(_hoist_chain, 4, 16, ct1.data))
+        put(f"hoisted_k{k}_per_rot_ms", lo / k * 1e3, med / k * 1e3,
+            hi / k * 1e3)
+    results["hoisted_amortization_k8_vs_k1"] = (
+        results["hoisted_k1_per_rot_ms"] / results["hoisted_k8_per_rot_ms"])
+
     for k, v in results.items():
         print(f"{k:40s} {v if isinstance(v, str) else f'{v:.6g}'}")
-    with open("/root/repo/ROOFLINE.json", "w") as f:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ROOFLINE.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"roofline": "written"}))
     return 0
