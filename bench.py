@@ -77,6 +77,17 @@ def main() -> int:
         pass
     vs_baseline = (cpu_ms / hmult_ms) if cpu_ms else 1.0
 
+    # Workload-level secondary metric: last committed end-to-end encrypted
+    # matvec (scripts/bench_workload.py), if measured.
+    matvec_ms = None
+    try:
+        with open("/root/repo/outLogs/workloads/matvec_bsgs.jsonl") as f:
+            lines = f.read().strip().splitlines()
+        if lines:
+            matvec_ms = json.loads(lines[-1]).get("e2e_ms")
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "hmult_latency_N2^16_L45_l35_a15",
         "value": round(hmult_ms, 3),
@@ -85,6 +96,7 @@ def main() -> int:
         "backend": jax.default_backend(),
         "correct": bool(ok),
         "hrotate_latency_ms": round(hrotate_ms, 3),
+        "matvec64_bsgs_e2e_ms": matvec_ms,
         "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
         "cpu_ref_hmult_ms": cpu_ms,
         "setup_ctx_s": round(setup_ctx_s, 1),

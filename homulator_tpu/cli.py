@@ -171,13 +171,15 @@ def run_op(args) -> int:
             ct_sh = NamedSharding(mesh, P(None, "limb", None, None))
             key_sh = NamedSharding(mesh, P(None, None, "limb", None, None))
             order = jnp.asarray(evk_limb_row_order(params, rc.level, n_mesh))
-            ct1 = _dc.replace(
-                ct1, data=jax.device_put(
-                    pad_main_rows(ct1.data, rc.level, n_mesh), ct_sh))
+            # Padded row layouts live OUTSIDE the Ciphertext containers
+            # (whose level invariant pins shape[1] == level); op_once
+            # re-slices the real rows into a fresh Ciphertext.
+            limb_a = jax.device_put(
+                pad_main_rows(ct1.data, rc.level, n_mesh), ct_sh)
+            limb_b = None
             if rc.op == "hmult":
-                ct2 = _dc.replace(
-                    ct2, data=jax.device_put(
-                        pad_main_rows(ct2.data, rc.level, n_mesh), ct_sh))
+                limb_b = jax.device_put(
+                    pad_main_rows(ct2.data, rc.level, n_mesh), ct_sh)
                 eng.relin_key = jax.device_put(
                     jnp.take(eng.relin_key, order, axis=2), key_sh)
                 shardmap_fn = make_limb_hmult(eng.dc, rc.level, mesh)
@@ -249,16 +251,18 @@ def run_op(args) -> int:
             from .context import Ciphertext
 
             if rc.op == "hmult":
-                data = shardmap_fn(ct1.data, ct2.data, eng.relin_key)
-                if dispatch == "limb":  # drop zeroed pad rows
-                    data = data[:, : rc.level - 1]
+                if dispatch == "limb":
+                    data = shardmap_fn(limb_a, limb_b, eng.relin_key)
+                    data = data[:, : rc.level - 1]  # drop zeroed pad rows
+                else:
+                    data = shardmap_fn(ct1.data, ct2.data, eng.relin_key)
                 return Ciphertext(
                     data, rc.level - 1,
                     ct1.scale * ct2.scale / params.qs[rc.level - 1],
                 )
             if dispatch == "limb":
                 perm = eng.dc.automorph_perm(params.galois_elt(1))
-                data = shardmap_fn(ct1.data, perm, eng.rot_keys[1])
+                data = shardmap_fn(limb_a, perm, eng.rot_keys[1])
                 data = data[:, : rc.level]
             else:
                 route = eng.dc.automorph_shard_route(

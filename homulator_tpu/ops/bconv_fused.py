@@ -136,6 +136,17 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
     center=True appends the in-kernel centering row (the matrix must have
     been built over nd+1 columns, last = [-Q_in]_{p_j})."""
     nd, R, C = x.shape
+    # The conversion is pure per-coefficient math (step1 scale, planes,
+    # limb-axis contraction, pairing epilogue), so the [R, C] tiling is
+    # arbitrary. Narrow trailing tiles (C < the 128-lane register width —
+    # per-shard column slices of the coeff-sharded path) make Mosaic
+    # reject the kernel's [bn, C] -> [bn*C] flatten ("unsupported shape
+    # cast"); re-tile to lane-128 rows outside the kernel instead.
+    orig_rc = None
+    if C < 128 and (R * C) % 128 == 0:
+        orig_rc = (R, C)
+        R, C = (R * C) // 128, 128
+        x = x.reshape(nd, R, C)
     m_out = out_q.shape[0]
     assert mat_bf16.shape[1] == NPLANES * (nd + (1 if center else 0)), (
         mat_bf16.shape, nd, center)
@@ -166,4 +177,6 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
         x, s_pl.reshape(nd, 1), s_sh.reshape(nd, 1), in_q.reshape(nd, 1),
         mat_bf16, horner_sh.reshape(m_out, 1), out_q.reshape(m_out, 1),
     )
+    if orig_rc is not None:
+        out = out.reshape(m_out, *orig_rc)
     return out

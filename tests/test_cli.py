@@ -55,12 +55,22 @@ def test_cli_cluster_dispatch(op, expect, capsys):
     ("hmult", "limb", "4"), ("hmult", "coeff", "2"),
     ("hrotate", "limb", "4"), ("hrotate", "coeff", "2"),
 ])
-def test_cli_forced_dispatch(op, axis, cluster, capsys):
+def test_cli_forced_dispatch_divisible(op, axis, cluster, capsys):
+    return test_cli_forced_dispatch(op, axis, cluster, capsys, level="4")
+
+
+@pytest.mark.parametrize("op,axis,cluster", [
+    # level 5 does NOT divide the mesh: the limb path pads rows (the
+    # padded layout must never enter a Ciphertext container — regression
+    # for the level-invariant assert the first cluster runs tripped).
+    ("hmult", "limb", "4"), ("hrotate", "limb", "4"),
+])
+def test_cli_forced_dispatch(op, axis, cluster, capsys, level="5"):
     """--dispatch forces either explicit-collective axis; both
     decrypt-verify on the virtual mesh."""
     rc = cli.main(
-        ["run", CFG, op, "8", "4", "4", cluster, "--verify", "--iters", "1",
-         "--platform", "cpu", "--dispatch", axis]
+        ["run", CFG, op, "8", level, "4", cluster, "--verify", "--iters",
+         "1", "--platform", "cpu", "--dispatch", axis]
     )
     outp = capsys.readouterr().out
     assert rc == 0, outp
