@@ -44,9 +44,21 @@ def main() -> int:
     from homulator_tpu.ops.modmath import modadd, mont_mul, to_mont
     from homulator_tpu.params import get_params
 
-    n, max_level, level, alpha = 65536, 45, 35, 15
-    d, g = 64, 8
-    scale = 2.0**29
+    smoke = "--smoke" in sys.argv  # CPU harness check (tiny params)
+    if smoke:
+        # the axon sitecustomize pins the tunneled TPU; a JAX_PLATFORMS
+        # env var alone is overridden — force the backend programmatically
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        n, max_level, level, alpha = 256, 8, 6, 4
+        d, g = 16, 4
+        scale = 2.0**26
+    else:
+        n, max_level, level, alpha = 65536, 45, 35, 15
+        d, g = 64, 8
+        scale = 2.0**29
     params = get_params(n=n, max_level=max_level, alpha=alpha)
     eng = CkksEngine(params, seed=7)
     eng.keygen()
@@ -89,47 +101,64 @@ def main() -> int:
         pt_stack)
     prep_s = time.perf_counter() - t0
 
+    # Stacked giant-group tables so the group loop compiles ONCE as a
+    # lax.scan body (the fully-inlined graph of 8 key switches exceeded
+    # the remote compile endpoint's patience).
+    J = d // g
+    giant_perm_stack = jnp.stack(giant_perms)            # [J-1, N]
+    giant_rotk_stack = jnp.stack(giant_rotks)            # [J-1, ...]
+    pt_groups = pt_mont.reshape(J, g, *pt_mont.shape[1:])
+
+    def group_sum(pm_j, baby_stack):
+        """sum_i pdiag_{g*j+i} * baby_i, both components: one batched
+        Montgomery multiply over [g, 2, level, R, C] + a modadd tree."""
+        t = mont_mul(baby_stack, pm_j[:, None], q3[None, None],
+                     qi3[None, None])
+        while t.shape[0] > 1:
+            h = t.shape[0] // 2
+            t = modadd(t[:h], t[h:], q3[None, None])
+        return t[0]
+
     def matvec(ct):
-        """The ENTIRE encrypted matvec as one traced graph."""
+        """The ENTIRE encrypted matvec as one traced graph (scan over
+        giant groups)."""
         rots = _hrotate_hoisted_graph(ct, baby_perms, baby_rotks, kt)
-        baby = [ct] + [rots[i] for i in range(g - 1)]
-        acc = None
-        for j in range(d // g):
-            group = None
-            for i in range(g):
-                pm = pt_mont[g * j + i][None]  # [1, level, n2, n1]
-                term = mont_mul(baby[i], pm, q3[None], qi3[None])
-                group = term if group is None else modadd(
-                    group, term, q3[None])
-            if j > 0:
-                group = _hrotate_graph(
-                    group, giant_perms[j - 1], giant_rotks[j - 1], kt)
-            acc = group if acc is None else modadd(acc, group, q3[None])
+        baby_stack = jnp.concatenate([ct[None], rots], axis=0)  # [g, ...]
+        acc = group_sum(pt_groups[0], baby_stack)
+
+        def body(acc, xs):
+            pm_j, perm_j, rotk_j = xs
+            grp = _hrotate_graph(group_sum(pm_j, baby_stack), perm_j,
+                                 rotk_j, kt)
+            return modadd(acc, grp, q3[None]), 0.0
+
+        acc, _ = jax.lax.scan(
+            body, acc, (pt_groups[1:], giant_perm_stack, giant_rotk_stack))
         return acc
 
-    # ---- verify (one real run, full decrypt) ----------------------------
-    from homulator_tpu.context import Ciphertext
-
-    t0 = time.perf_counter()
-    out = jax.jit(matvec)(ct_x.data)
-    out.block_until_ready()
-    compile_s = time.perf_counter() - t0
-    y = eng.decrypt_complex(
-        Ciphertext(out, level, scale * scale)).real[:d]
-    err = float(np.max(np.abs(y - M @ x)))
-    print(f"# verify max-abs-err = {err:.3e}")
-    assert err < 1e-2, err
-
-    # ---- chained timing -------------------------------------------------
+    # ---- one compiled program: verify at iters=1, then chained timing ---
     @jax.jit
     def chain(a, iters):
         def body(_, carry):
             return matvec(carry)
         return jax.lax.fori_loop(0, iters, body, a)
 
+    from homulator_tpu.context import Ciphertext
+
+    t0 = time.perf_counter()
+    out = chain(ct_x.data, 1)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    y = eng.decrypt_complex(
+        Ciphertext(out, level, scale * scale)).real[:d]
+    err = float(np.max(np.abs(y - M @ x)))
+    print(f"# verify max-abs-err = {err:.3e}", flush=True)
+    assert err < 1e-2, err
+
+    if smoke:
+        print("# smoke OK (verify passed; no artifact written)")
+        return 0
     sec = benchlib.time_chained(chain, 2, 10, ct_x.data)
-    ks = (1 + len(giant_steps))  # hoisted group + giants (key switches:
-    # the hoisted call pays g-1 inner products + moddowns on one ModUp)
     rec = {
         "workload": "matvec_bsgs", "n": n, "max_level": max_level,
         "level": level, "alpha": alpha, "d": d, "g": g,
