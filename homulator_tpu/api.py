@@ -210,6 +210,31 @@ def _hrotate_hoisted_graph(a, perms, rotks, kt):
 
 
 @jax.jit
+def _hrotate_hoisted_scan_graph(a, perm_stack, rotk_stack, kt):
+    """Hoisted rotations with the per-rotation tail as a lax.scan body:
+    bit-identical to _hrotate_hoisted_graph on the accelerated path, but
+    the program size is CONSTANT in the rotation count (the inlined form
+    grows one key switch per rotation — too large for k >= ~4 at set B
+    through the remote-compile path). perm_stack: int32[k, N];
+    rotk_stack: [k, dnum, 2, K, R, C]."""
+    main = kt.main_nt
+    q = main.q[:, None, None]
+    convs = modup_conv_all(a[1], kt)
+
+    def body(carry, xs):
+        perm, rotk = xs
+        rot_convs = tuple(automorph_eval(c, perm) for c in convs)
+        r1 = automorph_eval(a[1], perm)
+        acc0, acc1 = inner_product_pieces(rot_convs, r1, rotk, kt)
+        e = moddown_pair2(acc0, acc1, kt)
+        r0 = automorph_eval(a[0], perm)
+        return carry, jnp.stack([modadd(r0, e[0], q), e[1]])
+
+    _, outs = jax.lax.scan(body, 0, (perm_stack, rotk_stack))
+    return outs
+
+
+@jax.jit
 def _keyswitch_graph(d, evk_mont, kt):
     e0, e1 = keyswitch(d, evk_mont, kt)
     return jnp.stack([e0, e1])
@@ -439,7 +464,14 @@ class CkksEngine:
         )
         rotks = tuple(self.rot_keys[s] for s in steps)
         kt = self.dc.keyswitch_tables(a.level)
-        outs = _hrotate_hoisted_graph(a.data, perms, rotks, kt)
+        if kt.main_nt.use_pallas and len(steps) >= 4:
+            # scan form: program size constant in the rotation count
+            # (bit-identical; the inlined form grows one key switch per
+            # rotation and overwhelms the compile path for large k).
+            outs = _hrotate_hoisted_scan_graph(
+                a.data, jnp.stack(perms), jnp.stack(rotks), kt)
+        else:
+            outs = _hrotate_hoisted_graph(a.data, perms, rotks, kt)
         return [
             Ciphertext(outs[i], a.level, a.scale) for i in range(len(steps))
         ]

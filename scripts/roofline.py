@@ -370,40 +370,52 @@ def main() -> int:
     put("automorph_both_components_ms", lo * 1e3, med * 1e3, hi * 1e3)
     results["automorph_share_of_hrotate_pct"] = 100 * lo / hr_sec
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def flush():
+        # progressive writes: a late-section failure (e.g. a compile-path
+        # limit) must not lose the measurements already taken
+        with open(os.path.join(root, "ROOFLINE.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
+    flush()
+
     # Hoisted-rotation amortization: k rotations of one ciphertext sharing
     # ONE ModUp (Halevi-Shoup; api.hrotate_hoisted). Per-rotation ms vs k —
-    # the curve the hoisting exists to bend.
-    from homulator_tpu.api import _hrotate_hoisted_graph
+    # the curve the hoisting exists to bend. The scan-form graph keeps the
+    # program size constant in k (the inlined form exceeded the remote
+    # compile endpoint's request limit at k >= 4).
+    from homulator_tpu.api import _hrotate_hoisted_scan_graph
 
     for k in (1, 2, 4, 8):
         steps = list(range(1, k + 1))
         for s in steps:
             if s not in eng.rot_keys:
                 eng.gen_rotation_key(s)
-        perms = tuple(eng.dc.automorph_perm(params.galois_elt(s))
-                      for s in steps)
-        rotks = tuple(eng.rot_keys[s] for s in steps)
+        perm_stack = jnp.stack(
+            [eng.dc.automorph_perm(params.galois_elt(s)) for s in steps])
+        rotk_stack = jnp.stack([eng.rot_keys[s] for s in steps])
         kt_h = eng.dc.keyswitch_tables(level)
 
         @jax.jit
-        def _hoist_chain(a, iters, perms=perms, rotks=rotks, kt_h=kt_h):
+        def _hoist_chain(a, ps, rs, iters, kt_h=kt_h):
             def body(_, y):
-                outs = _hrotate_hoisted_graph(y, perms, rotks, kt_h)
+                outs = _hrotate_hoisted_scan_graph(y, ps, rs, kt_h)
                 return outs[0]
             return jax.lax.fori_loop(0, iters, body, a)
 
         lo, med, hi = sample_secs(
-            lambda: benchlib.time_chained(_hoist_chain, 4, 16, ct1.data))
+            lambda: benchlib.time_chained(
+                _hoist_chain, 4, 16, ct1.data, perm_stack, rotk_stack))
         put(f"hoisted_k{k}_per_rot_ms", lo / k * 1e3, med / k * 1e3,
             hi / k * 1e3)
+        flush()
     results["hoisted_amortization_k8_vs_k1"] = (
         results["hoisted_k1_per_rot_ms"] / results["hoisted_k8_per_rot_ms"])
 
     for k, v in results.items():
         print(f"{k:40s} {v if isinstance(v, str) else f'{v:.6g}'}")
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "ROOFLINE.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print(json.dumps({"roofline": "written"}))
     return 0
 

@@ -158,6 +158,13 @@ def test_hrotate_hoisted_pallas_path(pallas_engine):
     for s, got in zip(steps, outs):
         want = eng.hrotate(c, s)
         assert np.array_equal(np.asarray(got.data), np.asarray(want.data)), s
+    # k >= 4 routes through the lax.scan hoisted graph (constant program
+    # size) — must stay bit-identical too.
+    steps = [1, 2, 3, 5]
+    outs = eng.hrotate_hoisted(c, steps)
+    for s, got in zip(steps, outs):
+        want = eng.hrotate(c, s)
+        assert np.array_equal(np.asarray(got.data), np.asarray(want.data)), s
 
 
 def test_vmap_hmult_single_chip_batched(pallas_engine):
