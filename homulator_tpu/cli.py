@@ -226,10 +226,15 @@ def run_op(args) -> int:
         mesh = make_mesh(shape=(1, n_mesh), n_devices=n_mesh)
         print(f"# dispatch=gspmd mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
+        K = params.num_primes
         if rc.level % n_mesh == 0:
             ct_sh = NamedSharding(mesh, P(None, "limb", None, None))
             pt_sh = NamedSharding(mesh, P("limb", None, None))
-            key_sh = NamedSharding(mesh, P(None, None, "limb", None, None))
+            # the evk has K (not level) rows — shard its coefficient axis
+            # when K doesn't divide (set C/D: K=30/35 over 2/4/8 meshes)
+            key_sh = NamedSharding(
+                mesh, P(None, None, "limb", None, None)
+                if K % n_mesh == 0 else P(None, None, None, None, "limb"))
         else:
             # Limb count not divisible by the mesh: shard the coefficient
             # row (n2) axis instead — always a power of two (the
@@ -240,9 +245,10 @@ def run_op(args) -> int:
         ct1 = _dc.replace(ct1, data=jax.device_put(ct1.data, ct_sh))
         ct2 = _dc.replace(ct2, data=jax.device_put(ct2.data, ct_sh))
         pt2 = _dc.replace(pt2, data=jax.device_put(pt2.data, pt_sh))
-        if eng.relin_key is not None:
+        # keys matter only to the keyswitch ops (forced --dispatch gspmd)
+        if ks_op and eng.relin_key is not None:
             eng.relin_key = jax.device_put(eng.relin_key, key_sh)
-        if rc.op == "hrotate":
+        if ks_op and rc.op == "hrotate":
             eng.gen_rotation_key(1)
             eng.rot_keys[1] = jax.device_put(eng.rot_keys[1], key_sh)
 

@@ -70,7 +70,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5,
                     help="samples per measured metric (min/med/max stored)")
-    reps_n = ap.parse_args().reps
+    ap.add_argument("--only-hoisted", action="store_true",
+                    help="re-run only the hoisted-amortization section, "
+                         "merging into the existing ROOFLINE.json")
+    ns_args = ap.parse_args()
+    reps_n = ns_args.reps
 
     import jax
 
@@ -88,6 +92,79 @@ def main() -> int:
     from homulator_tpu.stats import op_modmul_count
 
     results = {"backend": jax.default_backend()}
+    root0 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _hoisted_section(results, eng, params, ct1, sample_secs, put):
+        """Hoisted-rotation amortization: k rotations sharing ONE ModUp
+        (scan-form graph — constant program size in k). Everything large
+        (keys, tables) is passed as jit ARGUMENTS: unbound defaults are
+        captured constants and push the serialized program over the
+        remote compile endpoint's request limit (HTTP 413, hit twice)."""
+        import jax.numpy as jnp
+
+        from homulator_tpu import benchlib
+        from homulator_tpu.api import _hrotate_hoisted_scan_graph
+
+        level = 35
+        kt_h = eng.dc.keyswitch_tables(level)
+
+        @jax.jit
+        def _hoist_chain(a, ps, rs, kt_, iters):
+            def body(_, y):
+                outs = _hrotate_hoisted_scan_graph(y, ps, rs, kt_)
+                return outs[0]
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        for k in (1, 2, 4, 8):
+            steps = list(range(1, k + 1))
+            for s in steps:
+                if s not in eng.rot_keys:
+                    eng.gen_rotation_key(s)
+            perm_stack = jnp.stack(
+                [eng.dc.automorph_perm(params.galois_elt(s))
+                 for s in steps])
+            rotk_stack = jnp.stack([eng.rot_keys[s] for s in steps])
+            lo, med, hi = sample_secs(
+                lambda: benchlib.time_chained(
+                    _hoist_chain, 4, 16, ct1.data, perm_stack, rotk_stack,
+                    kt_h))
+            put(f"hoisted_k{k}_per_rot_ms", lo / k * 1e3, med / k * 1e3,
+                hi / k * 1e3)
+            with open(os.path.join(root0, "ROOFLINE.json"), "w") as f:
+                json.dump(results, f, indent=1)
+        results["hoisted_amortization_k8_vs_k1"] = (
+            results["hoisted_k1_per_rot_ms"]
+            / results["hoisted_k8_per_rot_ms"])
+        with open(os.path.join(root0, "ROOFLINE.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
+    if ns_args.only_hoisted:
+        with open(os.path.join(root0, "ROOFLINE.json")) as f:
+            results = json.load(f)
+        from homulator_tpu.api import CkksEngine as _Eng
+        from homulator_tpu.params import get_params as _gp
+
+        params = _gp(n=65536, max_level=45, alpha=15)
+        eng = _Eng(params, seed=1)
+        eng.keygen()
+        scale = 2.0**29
+        m = np.zeros(65536, dtype=np.int64)
+        m[0] = int(3 * scale)
+        ct1 = eng.encrypt_ints(m, 35, scale)
+
+        def sample_secs(fn):
+            vals = sorted(fn() for _ in range(reps_n))
+            return vals[0], vals[len(vals) // 2], vals[-1]
+
+        def put(name, best, med, worst):
+            results[name] = best
+            results[name + "_med"] = med
+            results[name + "_worst"] = worst
+
+        _hoisted_section(results, eng, params, ct1, sample_secs, put)
+        print(json.dumps({k: v for k, v in results.items()
+                          if "hoisted" in k}))
+        return 0
 
     # ---- peak micro-kernels ----------------------------------------------
     S = 32  # multiplies chained per loop iteration (static unroll)
@@ -380,38 +457,7 @@ def main() -> int:
 
     flush()
 
-    # Hoisted-rotation amortization: k rotations of one ciphertext sharing
-    # ONE ModUp (Halevi-Shoup; api.hrotate_hoisted). Per-rotation ms vs k —
-    # the curve the hoisting exists to bend. The scan-form graph keeps the
-    # program size constant in k (the inlined form exceeded the remote
-    # compile endpoint's request limit at k >= 4).
-    from homulator_tpu.api import _hrotate_hoisted_scan_graph
-
-    for k in (1, 2, 4, 8):
-        steps = list(range(1, k + 1))
-        for s in steps:
-            if s not in eng.rot_keys:
-                eng.gen_rotation_key(s)
-        perm_stack = jnp.stack(
-            [eng.dc.automorph_perm(params.galois_elt(s)) for s in steps])
-        rotk_stack = jnp.stack([eng.rot_keys[s] for s in steps])
-        kt_h = eng.dc.keyswitch_tables(level)
-
-        @jax.jit
-        def _hoist_chain(a, ps, rs, iters, kt_h=kt_h):
-            def body(_, y):
-                outs = _hrotate_hoisted_scan_graph(y, ps, rs, kt_h)
-                return outs[0]
-            return jax.lax.fori_loop(0, iters, body, a)
-
-        lo, med, hi = sample_secs(
-            lambda: benchlib.time_chained(
-                _hoist_chain, 4, 16, ct1.data, perm_stack, rotk_stack))
-        put(f"hoisted_k{k}_per_rot_ms", lo / k * 1e3, med / k * 1e3,
-            hi / k * 1e3)
-        flush()
-    results["hoisted_amortization_k8_vs_k1"] = (
-        results["hoisted_k1_per_rot_ms"] / results["hoisted_k8_per_rot_ms"])
+    _hoisted_section(results, eng, params, ct1, sample_secs, put)
 
     for k, v in results.items():
         print(f"{k:40s} {v if isinstance(v, str) else f'{v:.6g}'}")
