@@ -59,7 +59,7 @@ from ..ops.modmath import (
     lazy_sum_reduce, lazy_tree_sum, modadd, modsub, mont_mul, mont_mul_lazy,
     shoup_mul, shoup_mul_lazy, to_mont,
 )
-from ..ops.ntt import intt, ntt
+from ..ops.ntt import intt, intt_rep, ntt_rep
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -386,14 +386,24 @@ def _modup_ip_limb(d_eval, evk, T: LimbTables, axis: str):
     c_full = jax.lax.all_gather(c_my, axis, axis=0, tiled=True)
     q_ext = T.q_ext[:, None, None]
     qi_ext = T.qinv_ext[:, None, None]
-    t0s, t1s = [], []
-    for d, dt in enumerate(T.digits):
-        conv = bconv_fused(
+    convs = [
+        bconv_fused(
             c_full[dt.lo:dt.hi], dt.step1_pl, dt.step1_sh, dt.in_q,
             dt.mat_bf16, dt.horner_sh, T.q_ext,
             interpret=T.interpret, center=True,
         )  # [B, n1, n2]: my ext rows (own rows exact)
-        conv_eval = ntt(conv, T.ext_nt)  # [B, n2, n1]
+        for dt in T.digits
+    ]
+    # Every digit's conv rows live on the SAME per-device ext basis, so
+    # all beta digit NTTs run as ONE rep-grid kernel launch (tables
+    # shared via i % B — the per-launch overhead matters here: per-shard
+    # row counts are small).
+    beta = len(T.digits)
+    B = convs[0].shape[0]
+    ev = ntt_rep(jnp.concatenate(convs, axis=0), T.ext_nt, beta)
+    t0s, t1s = [], []
+    for d in range(beta):
+        conv_eval = ev[d * B:(d + 1) * B]  # [B, n2, n1]
         t0s.append(mont_mul_lazy(conv_eval, evk[d, 0], q_ext, qi_ext))
         t1s.append(mont_mul_lazy(conv_eval, evk[d, 1], q_ext, qi_ext))
     return lazy_sum_reduce(t0s, q_ext), lazy_sum_reduce(t1s, q_ext)
@@ -428,7 +438,7 @@ def _hmult_limb_body(a, b, evk, T: LimbTables, *, axis: str):
     # ops/keyswitch.moddown_rescale (same flooring path).
     sa, sm, alpha = T.sa, T.sm, T.alpha
     q_last = T.q_last
-    gs, acc_mains = [], []
+    xs, acc_mains = [], []
     for acc, dd in ((acc0, d0), (acc1, d1)):
         acc_sp, acc_main = acc[:sa], acc[sa:]
         q_zl = T.q_main[T.j_zl]
@@ -437,15 +447,18 @@ def _hmult_limb_body(a, b, evk, T: LimbTables, *, axis: str):
             shoup_mul(dd[T.j_zl], T.p_pl[T.j_zl], T.p_sh[T.j_zl], q_zl),
             q_zl,
         )
-        xc = intt(
-            jnp.concatenate([acc_sp, zl_eval[None]], axis=0), T.tailzl_nt
-        )  # [sa+1, n1, n2]
+        xs.append(jnp.concatenate([acc_sp, zl_eval[None]], axis=0))
+        acc_mains.append(acc_main)
+    # both key components' specials+zl iNTTs in one rep-2 grid
+    xc2 = intt_rep(jnp.concatenate(xs, axis=0), T.tailzl_nt, 2)
+    gs = []
+    for k in (0, 1):
+        xc = xc2[k * (sa + 1):(k + 1) * (sa + 1)]  # [sa+1, n1, n2]
         bhat_my = shoup_mul(
             xc[:sa], T.md1_pl[:, None, None], T.md1_sh[:, None, None],
             T.q_sp[:, None, None],
         )
         gs.append(jnp.concatenate([bhat_my, xc[sa:]], axis=0))
-        acc_mains.append(acc_main)
     g = jnp.stack(gs)  # [2, sa+1, n1, n2]
     gf = jax.lax.all_gather(g, axis, axis=1, tiled=True)
     ns = T.ns
@@ -467,15 +480,19 @@ def _hmult_limb_body(a, b, evk, T: LimbTables, *, axis: str):
         T.pinv_last_pl, T.pinv_last_sh, q_last,
     )
     rows = _row_ids(T, axis)
-    outs = []
-    for k, dd in enumerate((d0, d1)):
-        xin = jnp.concatenate([bhat_ext[k], w[k][None]], axis=0)
-        conv = bconv_fused(
-            xin, T.one_tail_pl, T.one_tail_sh, T.in_q_tail,
+    convs_t = [
+        bconv_fused(
+            jnp.concatenate([bhat_ext[k], w[k][None]], axis=0),
+            T.one_tail_pl, T.one_tail_sh, T.in_q_tail,
             T.tail_bf16, T.tail_hsh, T.q_main,
             interpret=T.interpret, center=False,
         )  # [sm, n1, n2]: my output rows (>= level-1 rows are zero-matrix)
-        e = ntt(conv, T.main_nt)
+        for k in (0, 1)
+    ]
+    e2 = ntt_rep(jnp.concatenate(convs_t, axis=0), T.main_nt, 2)
+    outs = []
+    for k, dd in enumerate((d0, d1)):
+        e = e2[k * sm:(k + 1) * sm]
         z = modadd(
             acc_mains[k],
             shoup_mul(dd, T.p_pl[:, None, None], T.p_sh[:, None, None], q),
@@ -497,28 +514,34 @@ def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str):
     r0 = automorph_eval(a[0], perm)
     r1 = automorph_eval(a[1], perm)
     acc0, acc1 = _modup_ip_limb(r1, rotk, T, axis)
-    sa, alpha = T.sa, T.alpha
+    sa, sm, alpha = T.sa, T.sm, T.alpha
     q = T.q_main[:, None, None]
-    bh = []
-    for acc in (acc0, acc1):
-        xc = intt(acc[:sa], T.sp_nt)
-        bh.append(shoup_mul(
-            xc, T.md1_pl[:, None, None], T.md1_sh[:, None, None],
-            T.q_sp[:, None, None],
-        ))
+    # both key components' specials iNTTs in one rep-2 grid
+    xc2 = intt_rep(
+        jnp.concatenate([acc0[:sa], acc1[:sa]], axis=0), T.sp_nt, 2)
+    bh = [
+        shoup_mul(
+            xc2[k * sa:(k + 1) * sa], T.md1_pl[:, None, None],
+            T.md1_sh[:, None, None], T.q_sp[:, None, None],
+        )
+        for k in (0, 1)
+    ]
     gf = jax.lax.all_gather(jnp.stack(bh), axis, axis=1, tiled=True)
     bhat = gf[:, :alpha]  # [2, alpha, n1, n2]
-    es = []
-    for k, acc in enumerate((acc0, acc1)):
-        conv = bconv_fused(
+    convs_m = [
+        bconv_fused(
             bhat[k], T.one_sp_pl, T.one_sp_sh, T.q_sp_full,
             T.md_bf16, T.md_hsh, T.q_main,
             interpret=T.interpret, center=True,
         )  # [sm, n1, n2]
-        ce = ntt(conv, T.main_nt)
+        for k in (0, 1)
+    ]
+    ce2 = ntt_rep(jnp.concatenate(convs_m, axis=0), T.main_nt, 2)
+    es = []
+    for k, acc in enumerate((acc0, acc1)):
         es.append(shoup_mul(
-            modsub(acc[sa:], ce, q), T.pinv_pl[:, None, None],
-            T.pinv_sh[:, None, None], q,
+            modsub(acc[sa:], ce2[k * sm:(k + 1) * sm], q),
+            T.pinv_pl[:, None, None], T.pinv_sh[:, None, None], q,
         ))
     rows = _row_ids(T, axis)
     out0 = jnp.where(rows < T.level, modadd(r0, es[0], q), jnp.uint32(0))
