@@ -28,15 +28,20 @@ from homulator_tpu.parallel.sharded import ici_bytes_per_op  # noqa: E402
 
 
 def coeff_collective_count(params, level, op):
-    """Number of collectives on the coeff path: one all_to_all per
-    transform + the automorphism all_gathers (mirrors ici_bytes_per_op)."""
-    alpha = params.alpha
+    """Number of collective LAUNCHES on the coeff path. Each ntt/intt
+    CALL moves all its rows through ONE all_to_all (_transpose_a2a acts
+    on the whole [M, a, b/ns] batch), so the count is per call, not per
+    row: ModUp = 1 iNTT call + beta digit-NTT calls; hmult tails = per
+    key iNTT(specials) + iNTT(zl) + NTT(out) = 3 calls x 2; hrotate
+    ModDown = per key iNTT(specials) + NTT(main) = 2 calls x 2, plus the
+    2 automorphism ppermutes. (An earlier revision counted transform ROWS
+    (~250) as collectives — a ~20x overcount of the launch-latency term,
+    caught in review; the VOLUME accounting was always per-row and
+    HLO-reconciled.)"""
     beta = params.beta(level)
-    digits = [params.digit_range(level, d) for d in range(beta)]
-    transforms = level + sum((alpha + level) - (hi - lo) for lo, hi in digits)
     if op == "hmult":
-        return transforms + 2 * (alpha + 1 + level - 1)
-    return transforms + 2 * (alpha + level) + 2
+        return 1 + beta + 2 * 3
+    return 1 + beta + 2 * 2 + 2
 
 
 def main() -> int:
