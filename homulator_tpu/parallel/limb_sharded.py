@@ -553,18 +553,34 @@ def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str):
 # Builders + host-layout helpers
 # --------------------------------------------------------------------------
 def make_limb_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
-                    axis: str = "limb"):
+                    axis: str = "limb",
+                    data_axis: Optional[str] = None):
     """jitted f(a_pad, b_pad, evk_limb) -> out_pad over `mesh`: the limb
     (RNS row) axis of ciphertexts and the ext-row axis of the evk sharded
-    over mesh axis `axis`. Use pad_ct / evk_limb_order for the layouts;
-    out rows [0, level-1) are the hmult result, the rest zero."""
+    over mesh axis `axis`. Use pad_main_rows / evk_limb_row_order for the
+    layouts; out rows [0, level-1) are the hmult result, the rest zero.
+
+    With data_axis: f(a_batch, b_batch, evk) over [B, 2, level_pad, R, C]
+    — ciphertext batch data-parallel over `data_axis`, vmapped inside the
+    shard_map (the reference Driver's batch round-robin, Driver.h:193-207,
+    composed with its limb dispatch)."""
     ns = mesh.shape[axis]
     T = build_limb_tables(dc, level, ns)
     T_sp = _limb_specs(T, axis)
-    ct_sp = P(None, axis, None, None)
     evk_sp = P(None, None, axis, None, None)
+    if data_axis is None:
+        ct_sp = P(None, axis, None, None)
+        body = functools.partial(_hmult_limb_body, axis=axis)
+    else:
+        ct_sp = P(data_axis, None, axis, None, None)
+
+        def body(a, b, evk, T):
+            return jax.vmap(
+                lambda x, y: _hmult_limb_body(x, y, evk, T, axis=axis)
+            )(a, b)
+
     f = jax.shard_map(
-        functools.partial(_hmult_limb_body, axis=axis), mesh=mesh,
+        body, mesh=mesh,
         in_specs=(ct_sp, ct_sp, evk_sp, T_sp),
         out_specs=ct_sp,
         check_vma=False,

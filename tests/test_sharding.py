@@ -399,6 +399,32 @@ def test_limb_hrotate_matches_single_chip(pallas_engine, ns, level):
     assert not out[:, level:].any(), "pad rows must be zeroed"
 
 
+def test_limb_hmult_data_parallel_batched(pallas_engine):
+    """data x limb mesh: ciphertext batch vmapped inside the shard_map,
+    RNS rows sharded — both axes exercised together (the reference's
+    batch round-robin composed with its limb dispatch)."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_limb_hmult, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    ns = 4
+    mesh = make_mesh(shape=(2, ns), n_devices=8,
+                     axis_names=("data", "limb"))
+    B = 4
+    ab = _batch(eng, level, B, seed=51)
+    bb = _batch(eng, level, B, seed=52)
+    order = evk_limb_row_order(eng.params, level, ns)
+    evk_l = jnp.take(eng.relin_key, jnp.asarray(order), axis=2)
+    f = make_limb_hmult(eng.dc, level, mesh, data_axis="data")
+    out = np.asarray(f(pad_main_rows(ab, level, ns),
+                       pad_main_rows(bb, level, ns), evk_l))
+    for i in range(B):
+        ref = _hmult_ref(eng, ab[i], bb[i], level)
+        assert np.array_equal(out[i][:, : level - 1], ref), i
+
+
 @pytest.mark.parametrize("op", ["hmult", "hrotate"])
 def test_limb_ici_bytes_reconcile_with_hlo(pallas_engine, op):
     """ici_bytes_per_op_limb == bytes counted over the all_gathers of the
