@@ -349,7 +349,11 @@ def test_ici_bytes_reconcile_with_hlo(pallas_engine, op):
 # Limb-axis dispatch (parallel/limb_sharded.py — the reference's primary
 # dispatch, Driver.h:155-191: transforms whole per device, rows distributed)
 # ---------------------------------------------------------------------------
-@pytest.mark.parametrize("ns,level", [(2, 8), (4, 8), (8, 8), (4, 7), (8, 5)])
+@pytest.mark.parametrize("ns,level", [
+    (2, 8), (4, 8), (8, 8), (4, 7), (8, 5),
+    (4, 4),  # beta = 1 (level == alpha: single digit, no pad)
+    (4, 3),  # beta = 1, partial digit AND padded rows
+])
 def test_limb_hmult_matches_single_chip(pallas_engine, ns, level):
     """Row-sharded hmult == single-chip on real rows, zeros on pad rows —
     including non-divisible levels (7, 5: padded blocks)."""
