@@ -407,6 +407,254 @@ def intt_phase1_pallas(x, q, midi, midis, ip1, ip1s, *, n1, c, interpret=False):
     )(q.reshape(M, 1), midi, midis, ip1, ip1s, x)
 
 
+# --------------------------------------------------------------------------
+# LANE-PACKED phase kernels (narrow-width sharded shards).
+#
+# Measured (WIDTH_SCALING.json): the butterfly kernels stop getting faster
+# below c = 128 columns — less than one full 128-lane VPU register per
+# instruction, so per-element issue cost doubles each halving while the
+# bconv (MXU) kernel keeps scaling. These variants pack k = 128/c limbs
+# side-by-side into the lane axis (lane block j = limb j's columns), so
+# every instruction stays full-width. Per-limb constants (q, stage
+# twiddles, mid twiddles) become per-lane VECTORS, pre-broadcast
+# host-side by pack_phase_tables; the butterfly row structure is
+# lane-independent, so the stage math is unchanged. Bit-exact vs the
+# per-limb kernels (tests/test_pallas_kernels.py).
+# --------------------------------------------------------------------------
+def _ct_stage_slice_v(a, w, wsh, H, qrow):
+    """_ct_stage_slice with per-lane twiddles/q: a, w, wsh [n, m];
+    qrow [1, m]."""
+    n, m = a.shape
+    B = n // (2 * H)
+    a3 = a.reshape(B, 2 * H, m)
+    w3 = w.reshape(B, 2 * H, m)
+    wsh3 = wsh.reshape(B, 2 * H, m)
+    q1 = qrow.reshape(1, 1, m)
+    q3 = q1 + q1 + q1
+    u = _csub(a3[:, :H], q3)
+    v = shoup_mul_lazy3(a3[:, H:], w3[:, H:], wsh3[:, H:], q1)
+    return jnp.concatenate([u + v, u - v + q3], axis=1).reshape(n, m)
+
+
+def _gs_stage_slice_v(a, w, wsh, H, qrow):
+    n, m = a.shape
+    B = n // (2 * H)
+    a3 = a.reshape(B, 2 * H, m)
+    w3 = w.reshape(B, 2 * H, m)
+    wsh3 = wsh.reshape(B, 2 * H, m)
+    q1 = qrow.reshape(1, 1, m)
+    q3 = q1 + q1 + q1
+    u = a3[:, :H]
+    v = a3[:, H:]
+    s0 = _csub(u + v, q3)
+    s1 = shoup_mul_lazy3(u - v + q3, w3[:, H:], wsh3[:, H:], q1)
+    return jnp.concatenate([s0, s1], axis=1).reshape(n, m)
+
+
+def _ct_stages_val_packed(a, w_st, wsh_st, qrow):
+    """CT butterflies with per-lane tables: a [n, m]; w_st/wsh_st
+    [log2 n, n, m] pre-broadcast per stage (pack_phase_tables); qrow
+    [1, m]. Requires _use_swap(n) (all stages sliced)."""
+    n = a.shape[0]
+    logn = n.bit_length() - 1
+    assert _use_swap(n)
+    swapped = False
+    for s in range(logn):
+        H = n >> (s + 1)
+        if H >= _MIN_SLICE_H:
+            a = _ct_stage_slice_v(a, w_st[s], wsh_st[s], H, qrow)
+        else:
+            if not swapped:
+                a = _swap_rows_fwd(a)
+                swapped = True
+            a = _ct_stage_slice_v(a, w_st[s], wsh_st[s], H * (n // 8), qrow)
+    if swapped:
+        a = _swap_rows_inv(a)
+    return a
+
+
+def _gs_stages_val_packed(a, w_st, wsh_st, qrow):
+    n = a.shape[0]
+    logn = n.bit_length() - 1
+    assert _use_swap(n)
+    swapped = False
+    for s in range(logn - 1, -1, -1):
+        H = n >> (s + 1)
+        if H >= _MIN_SLICE_H:
+            if swapped:
+                a = _swap_rows_inv(a)
+                swapped = False
+            a = _gs_stage_slice_v(a, w_st[s], wsh_st[s], H, qrow)
+        else:
+            if not swapped:
+                a = _swap_rows_fwd(a)
+                swapped = True
+            a = _gs_stage_slice_v(a, w_st[s], wsh_st[s], H * (n // 8), qrow)
+    if swapped:
+        a = _swap_rows_inv(a)
+    return a
+
+
+def _make_ntt_phase1_packed_kernel(interpret: bool):
+    def kernel(q_ref, p1_ref, p1s_ref, mid_ref, mids_ref, x_ref, o_ref):
+        q = q_ref[0]  # [1, m] per-lane primes
+        a = x_ref[0]  # [n1, m] = k packed limbs' columns
+        a = _ct_stages_val_packed(a, p1_ref[0], p1s_ref[0], q)
+        a = shoup_mul_lazy3(a, mid_ref[0], mids_ref[0], q)
+        q2 = q + q
+        a = _csub(a, q2)
+        o_ref[0] = _csub(a, q)
+
+    return kernel
+
+
+def _make_ntt_phase2_packed_kernel(interpret: bool):
+    def kernel(q_ref, p2_ref, p2s_ref, x_ref, o_ref):
+        q = q_ref[0]
+        a = x_ref[0]
+        a = _ct_stages_val_packed(a, p2_ref[0], p2s_ref[0], q)
+        q2 = q + q
+        a = _csub(a, q2 + q2)
+        a = _csub(a, q2)
+        o_ref[0] = _csub(a, q)
+
+    return kernel
+
+
+def _make_intt_phase2_packed_kernel(interpret: bool):
+    def kernel(q_ref, ip2_ref, ip2s_ref, x_ref, o_ref):
+        q = q_ref[0]
+        a = x_ref[0]
+        a = _gs_stages_val_packed(a, ip2_ref[0], ip2s_ref[0], q)
+        a = _csub(a, q + q)
+        o_ref[0] = _csub(a, q)
+
+    return kernel
+
+
+def _make_intt_phase1_packed_kernel(interpret: bool):
+    def kernel(q_ref, midi_ref, midis_ref, ip1_ref, ip1s_ref, x_ref, o_ref):
+        q = q_ref[0]
+        a = x_ref[0]
+        a = shoup_mul_lazy3(a, midi_ref[0], midis_ref[0], q)
+        a = _gs_stages_val_packed(a, ip1_ref[0], ip1s_ref[0], q)
+        a = _csub(a, q + q)
+        o_ref[0] = _csub(a, q)
+
+    return kernel
+
+
+def _packed_call(kernel, G, n, m, tables, x, interpret):
+    specs = [_slab(1, m)]
+    for t in tables:
+        specs.append(_slab(*t.shape[1:]))
+    specs.append(_slab(n, m))
+    return pl.pallas_call(
+        kernel, grid=(G,),
+        in_specs=specs,
+        out_specs=_slab(n, m),
+        out_shape=jax.ShapeDtypeStruct((G, n, m), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+def ntt_phase1_packed_pallas(x, qrow, p1p, p1sp, midp, midsp, *, n1,
+                             interpret=False):
+    """Lane-packed phase 1: x [G, n1, m] (m = k*c lanes, k limbs packed);
+    qrow [G, 1, m]; p1p/p1sp [G, log2(n1), n1, m]; midp/midsp [G, n1, m]
+    (pack_phase_tables output). Output [G, n1, m] in [0, q) per lane."""
+    G = x.shape[0]
+    m = x.shape[2]
+    return _packed_call(
+        _make_ntt_phase1_packed_kernel(interpret), G, n1, m,
+        (p1p, p1sp, midp, midsp), x, interpret,
+    )(qrow, p1p, p1sp, midp, midsp, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "interpret"))
+def ntt_phase2_packed_pallas(x, qrow, p2p, p2sp, *, n2, interpret=False):
+    """Lane-packed phase 2: x [G, n2, m] post-transpose columns."""
+    G = x.shape[0]
+    m = x.shape[2]
+    return _packed_call(
+        _make_ntt_phase2_packed_kernel(interpret), G, n2, m,
+        (p2p, p2sp), x, interpret,
+    )(qrow, p2p, p2sp, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "interpret"))
+def intt_phase2_packed_pallas(x, qrow, ip2p, ip2sp, *, n2, interpret=False):
+    G = x.shape[0]
+    m = x.shape[2]
+    return _packed_call(
+        _make_intt_phase2_packed_kernel(interpret), G, n2, m,
+        (ip2p, ip2sp), x, interpret,
+    )(qrow, ip2p, ip2sp, x)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+def intt_phase1_packed_pallas(x, qrow, midip, midisp, ip1p, ip1sp, *, n1,
+                              interpret=False):
+    G = x.shape[0]
+    m = x.shape[2]
+    return _packed_call(
+        _make_intt_phase1_packed_kernel(interpret), G, n1, m,
+        (midip, midisp, ip1p, ip1sp), x, interpret,
+    )(qrow, midip, midisp, ip1p, ip1sp, x)
+
+
+def pack_phase_tables(q, stage_pl, stage_sh, mid_pl, mid_sh, k, c,
+                      col0=0):
+    """Host packing for the lane-packed kernels. Inputs are the per-limb
+    NttBasis.pfwd/pinv arrays: q [M]; stage tables [M, n, log2 n]; mid
+    tables [M, n, n_cols_full] (column slice [col0, col0+c) is taken —
+    the device-local mid columns). Returns (qrow [G, 1, k*c],
+    stage_p [G, log2 n, n, k*c], stage_s, mid_p [G, n, k*c], mid_s) with
+    G = M // k (M must divide; pad rows upstream)."""
+    import numpy as np
+
+    M, n, logn = stage_pl.shape
+    assert M % k == 0, (M, k)
+    G = M // k
+    m = k * c
+
+    def group(a):  # [M, ...] -> [G, k, ...]
+        return np.asarray(a).reshape((G, k) + a.shape[1:])
+
+    qg = group(q)  # [G, k]
+    qrow = np.repeat(qg, c, axis=1).reshape(G, 1, m)
+
+    def pack_stage(t):  # [M, n, logn] -> [G, logn, n, m]
+        tg = group(t)  # [G, k, n, logn]
+        tg = np.transpose(tg, (0, 3, 2, 1))  # [G, logn, n, k]
+        return np.repeat(tg, c, axis=3)  # broadcast each limb over c lanes
+
+    def pack_mid(t):  # [M, n, full] -> [G, n, m]
+        tg = group(t[:, :, col0:col0 + c])  # [G, k, n, c]
+        return np.transpose(tg, (0, 2, 1, 3)).reshape(G, n, m)
+
+    return (
+        jnp.asarray(qrow.astype(np.uint32)),
+        jnp.asarray(pack_stage(stage_pl)),
+        jnp.asarray(pack_stage(stage_sh)),
+        jnp.asarray(pack_mid(mid_pl)),
+        jnp.asarray(pack_mid(mid_sh)),
+    )
+
+
+def pack_limb_lanes(x, k):
+    """[M, n, c] -> [M//k, n, k*c]: lane block j = limb j's columns."""
+    M, n, c = x.shape
+    return x.reshape(M // k, k, n, c).swapaxes(1, 2).reshape(M // k, n, k * c)
+
+
+def unpack_limb_lanes(y, k, c):
+    """Inverse of pack_limb_lanes."""
+    G, n, m = y.shape
+    return y.reshape(G, n, k, c).swapaxes(1, 2).reshape(G * k, n, c)
+
+
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "interpret", "rep"))
 def intt_pallas(x, q, pinv, *, n1, n2, interpret=False, rep=1):
     """x: [rep*M, n2, n1] eval tiles -> [rep*M, n1, n2] coeff tiles

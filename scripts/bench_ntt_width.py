@@ -106,9 +106,59 @@ def main() -> int:
              "bconv_digit_us": round(1e6 * t_bc, 2)}
         results.append(r)
         print(r, flush=True)
+    # ---- lane-packed kernels at narrow widths (the identified lever):
+    # k = 128/c limbs side-by-side -> every instruction full-width.
+    from homulator_tpu.ops.ntt_pallas import (
+        ntt_phase1_packed_pallas, ntt_phase2_packed_pallas,
+        pack_limb_lanes, pack_phase_tables,
+    )
+
+    Mp = 32  # divisible by k = 2 and 4
+    for ns in (4, 8):
+        c = n2 // ns
+        k = 128 // c
+        qN = np.asarray(nb.q)[:Mp]
+        qrow, p1p, p1sp, midp, midsp = pack_phase_tables(
+            qN, np.asarray(p1)[:Mp], np.asarray(p1s)[:Mp],
+            np.asarray(mid)[:Mp], np.asarray(mids)[:Mp], k, c)
+        _, p2p, p2sp, _, _ = pack_phase_tables(
+            qN, np.asarray(p2)[:Mp], np.asarray(p2s)[:Mp],
+            np.asarray(mid)[:Mp], np.asarray(mids)[:Mp], k, n1 // ns)
+        xp = pack_limb_lanes(jnp.asarray(rng.integers(
+            0, 2**30, size=(Mp, n1, c), dtype=np.uint64
+        ).astype(np.uint32)), k)
+        yp = pack_limb_lanes(jnp.asarray(rng.integers(
+            0, 2**30, size=(Mp, n2, n1 // ns), dtype=np.uint64
+        ).astype(np.uint32)), k)
+
+        @jax.jit
+        def pp1_chain(v, iters):
+            def body(_, y):
+                return ntt_phase1_packed_pallas(
+                    y, qrow, p1p, p1sp, midp, midsp, n1=n1,
+                    interpret=False)
+            return jax.lax.fori_loop(0, iters, body, v)
+
+        @jax.jit
+        def pp2_chain(v, iters):
+            def body(_, y):
+                return ntt_phase2_packed_pallas(
+                    y, qrow, p2p, p2sp, n2=n2, interpret=False)
+            return jax.lax.fori_loop(0, iters, body, v)
+
+        t1 = benchlib.time_chained(pp1_chain, 8, 400, xp)
+        t2 = benchlib.time_chained(pp2_chain, 8, 400, yp)
+        r = {"ns": ns, "c": c, "packed_k": k,
+             "packed_phase1_us_per_row": round(1e6 * t1 / Mp, 3),
+             "packed_phase2_us_per_row": round(1e6 * t2 / Mp, 3)}
+        results.append(r)
+        print(r, flush=True)
+
     # width-scaling factors vs full width
     f0 = results[0]
     for r in results:
+        if "phase1_us_per_row" not in r:
+            continue
         r["phase1_vs_full"] = round(
             r["phase1_us_per_row"] / f0["phase1_us_per_row"], 3)
         r["phase2_vs_full"] = round(

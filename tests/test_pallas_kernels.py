@@ -199,3 +199,77 @@ def test_bconv_fused_max_digit_stress():
         for i in range(nd):
             acc += int(mat[j, i]) * xh[i].astype(object)
         assert np.array_equal(out[j], (acc % int(out_q[j])).astype(np.uint64)), j
+
+
+def test_lane_packed_phase_kernels_match():
+    """Lane-packed phase kernels (k limbs side-by-side in the lane axis,
+    the narrow-shard lever from WIDTH_SCALING.json) == the per-limb phase
+    kernels, element-exact, for all four phases."""
+    import jax.numpy as jnp
+
+    from homulator_tpu.ops.ntt_pallas import (
+        intt_phase1_packed_pallas, intt_phase1_pallas,
+        intt_phase2_packed_pallas, intt_phase2_pallas,
+        ntt_phase1_packed_pallas, ntt_phase1_pallas,
+        ntt_phase2_packed_pallas, ntt_phase2_pallas,
+        pack_limb_lanes, pack_phase_tables, unpack_limb_lanes,
+    )
+
+    params = get_params(n=4096, max_level=4, alpha=2)  # n1 = n2 = 64
+    eng = CkksEngine(params, seed=3, ntt_mode="interpret")
+    dc = eng.dc
+    nb = dc.ntt_basis(dc.main_rows(4))
+    n1, n2 = nb.n1, nb.n2
+    M, k, c = 4, 2, n2 // 2
+    p1, p1s, mid, mids, p2, p2s = nb.pfwd
+    ip1, ip1s, midi, midis, ip2, ip2s = nb.pinv
+    rng = np.random.default_rng(5)
+    for col0 in (0, c):  # both device column slices
+        x = jnp.asarray(rng.integers(
+            0, np.asarray(params.q_arr[:M])[:, None, None],
+            size=(M, n1, c), dtype=np.uint64).astype(np.uint32))
+        # forward phase 1
+        ref = ntt_phase1_pallas(
+            x, nb.q, p1, p1s, mid[:, :, col0:col0 + c],
+            mids[:, :, col0:col0 + c], n1=n1, c=c, interpret=True)
+        qrow, p1p, p1sp, midp, midsp = pack_phase_tables(
+            np.asarray(nb.q), np.asarray(p1), np.asarray(p1s),
+            np.asarray(mid), np.asarray(mids), k, c, col0=col0)
+        got = unpack_limb_lanes(ntt_phase1_packed_pallas(
+            pack_limb_lanes(x, k), qrow, p1p, p1sp, midp, midsp,
+            n1=n1, interpret=True), k, c)
+        assert np.array_equal(np.asarray(got), np.asarray(ref)), "p1 fwd"
+        # forward phase 2 (mid tables unused: pass zeros-shaped slices)
+        y = jnp.asarray(rng.integers(
+            0, np.asarray(params.q_arr[:M])[:, None, None],
+            size=(M, n2, c), dtype=np.uint64).astype(np.uint32))
+        ref2 = ntt_phase2_pallas(y, nb.q, p2, p2s, n2=n2, c=c,
+                                 interpret=True)
+        qrow2, p2p, p2sp, _, _ = pack_phase_tables(
+            np.asarray(nb.q), np.asarray(p2), np.asarray(p2s),
+            np.asarray(mid), np.asarray(mids), k, c, col0=col0)
+        got2 = unpack_limb_lanes(ntt_phase2_packed_pallas(
+            pack_limb_lanes(y, k), qrow2, p2p, p2sp, n2=n2,
+            interpret=True), k, c)
+        assert np.array_equal(np.asarray(got2), np.asarray(ref2)), "p2 fwd"
+        # inverse phase 2
+        ref3 = intt_phase2_pallas(y, nb.q, ip2, ip2s, n2=n2, c=c,
+                                  interpret=True)
+        _, ip2p, ip2sp, _, _ = pack_phase_tables(
+            np.asarray(nb.q), np.asarray(ip2), np.asarray(ip2s),
+            np.asarray(midi), np.asarray(midis), k, c, col0=col0)
+        got3 = unpack_limb_lanes(intt_phase2_packed_pallas(
+            pack_limb_lanes(y, k), qrow, ip2p, ip2sp, n2=n2,
+            interpret=True), k, c)
+        assert np.array_equal(np.asarray(got3), np.asarray(ref3)), "p2 inv"
+        # inverse phase 1
+        ref4 = intt_phase1_pallas(
+            x, nb.q, midi[:, :, col0:col0 + c], midis[:, :, col0:col0 + c],
+            ip1, ip1s, n1=n1, c=c, interpret=True)
+        _, ip1p, ip1sp, midip, midisp = pack_phase_tables(
+            np.asarray(nb.q), np.asarray(ip1), np.asarray(ip1s),
+            np.asarray(midi), np.asarray(midis), k, c, col0=col0)
+        got4 = unpack_limb_lanes(intt_phase1_packed_pallas(
+            pack_limb_lanes(x, k), qrow, midip, midisp, ip1p, ip1sp,
+            n1=n1, interpret=True), k, c)
+        assert np.array_equal(np.asarray(got4), np.asarray(ref4)), "p1 inv"
