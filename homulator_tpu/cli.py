@@ -85,9 +85,9 @@ def run_op(args) -> int:
     #           device-local, 2-3 row-block all_gathers total
     #           (parallel/limb_sharded.py);
     #   coeff — the sequence-parallel analog: columns sharded, one
-    #           all_to_all per transform + all_gather automorphisms
-    #           (parallel/sharded.make_shardmap_*), needs kernel-shaped
-    #           per-device tiles.
+    #           all_to_all per transform call + whole-shard ppermute
+    #           automorphisms (parallel/sharded.make_shardmap_*), needs
+    #           kernel-shaped per-device tiles.
     #
     # Non-keyswitch ops (and --dispatch gspmd) use the GSPMD-partitioned
     # jnp graph. Override with --dispatch {auto,limb,coeff,gspmd}.
