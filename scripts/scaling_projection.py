@@ -32,7 +32,6 @@ Writes SCALING.json. Run on the TPU (several minutes; compiles ~16 new
 programs through the remote endpoint on first run).
 """
 
-import functools
 import json
 import os
 import sys
