@@ -39,7 +39,13 @@ def main():
     eng.keygen()
 
     slots = params.n // 2
-    level, scale = 8, 2.0**26
+    # The scale must track the prime size (2^scale_bits = 2^29): after a
+    # rescale the working scale becomes s^2/q, and the two sigmoid
+    # branches (t at one level, t^3 two rescales deeper) only carry
+    # MATCHING scales when s ~ q. A smaller s (an earlier revision used
+    # 2^26) silently mis-scales the cubic branch by (q/s)^2 ~ 2^12 —
+    # align_levels aligns LEVELS, not scales.
+    level, scale = 8, 2.0**29
     rng = np.random.default_rng(7)
     # A small "model": weights scaled so |score| stays in the poly's range.
     x = rng.normal(size=slots)
