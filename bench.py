@@ -77,16 +77,18 @@ def main() -> int:
         pass
     vs_baseline = (cpu_ms / hmult_ms) if cpu_ms else 1.0
 
-    # Workload-level secondary metric: last committed end-to-end encrypted
-    # matvec (scripts/bench_workload.py), if measured.
-    matvec_ms = None
-    try:
-        with open("/root/repo/outLogs/workloads/matvec_bsgs.jsonl") as f:
-            lines = f.read().strip().splitlines()
-        if lines:
-            matvec_ms = json.loads(lines[-1]).get("e2e_ms")
-    except Exception:
-        pass
+    # Workload-level secondary metrics: last committed end-to-end runs
+    # (scripts/bench_workload.py, scripts/bench_logreg.py), if measured.
+    def _last_e2e(path):
+        try:
+            with open(path) as f:
+                lines = f.read().strip().splitlines()
+            return json.loads(lines[-1]).get("e2e_ms") if lines else None
+        except Exception:
+            return None
+
+    matvec_ms = _last_e2e("/root/repo/outLogs/workloads/matvec_bsgs.jsonl")
+    logreg_ms = _last_e2e("/root/repo/outLogs/workloads/logreg.jsonl")
 
     print(json.dumps({
         "metric": "hmult_latency_N2^16_L45_l35_a15",
@@ -97,6 +99,7 @@ def main() -> int:
         "correct": bool(ok),
         "hrotate_latency_ms": round(hrotate_ms, 3),
         "matvec64_bsgs_e2e_ms": matvec_ms,
+        "logreg_sigmoid3_e2e_ms": logreg_ms,
         "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
         "cpu_ref_hmult_ms": cpu_ms,
         "setup_ctx_s": round(setup_ctx_s, 1),
