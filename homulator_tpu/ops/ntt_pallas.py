@@ -609,9 +609,11 @@ def pack_phase_tables(q, stage_pl, stage_sh, mid_pl, mid_sh, k, c,
     """Host packing for the lane-packed kernels. Inputs are the per-limb
     NttBasis.pfwd/pinv arrays: q [M]; stage tables [M, n, log2 n]; mid
     tables [M, n, n_cols_full] (column slice [col0, col0+c) is taken —
-    the device-local mid columns). Returns (qrow [G, 1, k*c],
+    the device-local mid columns; pass None for mid-free phases, e.g.
+    forward phase 2). Returns (qrow [G, 1, k*c],
     stage_p [G, log2 n, n, k*c], stage_s, mid_p [G, n, k*c], mid_s) with
-    G = M // k (M must divide; pad rows upstream)."""
+    G = M // k (M must divide; pad rows upstream); mid outputs are None
+    when mid_pl is None."""
     import numpy as np
 
     M, n, logn = stage_pl.shape
@@ -638,8 +640,8 @@ def pack_phase_tables(q, stage_pl, stage_sh, mid_pl, mid_sh, k, c,
         jnp.asarray(qrow.astype(np.uint32)),
         jnp.asarray(pack_stage(stage_pl)),
         jnp.asarray(pack_stage(stage_sh)),
-        jnp.asarray(pack_mid(mid_pl)),
-        jnp.asarray(pack_mid(mid_sh)),
+        jnp.asarray(pack_mid(mid_pl)) if mid_pl is not None else None,
+        jnp.asarray(pack_mid(mid_sh)) if mid_sh is not None else None,
     )
 
 

@@ -29,13 +29,21 @@ def rescale_poly(
     out_nt: NttBasis,  # remaining main basis (level-1 rows)
     qinv_tabs,  # (mont, plain, shoup) triple of [level-1] [q_last^{-1}]_{q_i}
 ) -> jnp.ndarray:
+    """Subtracts the CENTERED remainder r~ = r - q_last*[r >= ceil(q/2)]
+    before the exact division — without centering the decrypt error gains
+    a key-dependent DC bias from the r1*s cross term (~sqrt(N) coefficient
+    units) that decodes into a deterministic slot-0 tone (see
+    refimpl.rescale; bit-identical to it and to the fused
+    keyswitch.moddown_rescale tail's w-row centering)."""
     level = c.shape[0]
     last_coeff = intt(c[level - 1: level], last_nt)  # [1, n1, n2], [0, q_last)
+    q_last = last_nt.q[0]
+    ind = last_coeff >= ((q_last >> 1) + 1)
     oq = out_nt.q[:, None, None]
     oqi = out_nt.qinv[:, None, None]
-    red = _reduce_small(
-        jnp.broadcast_to(last_coeff, (level - 1,) + last_coeff.shape[1:]), oq
-    )
+    # centered rep mod q_i: r + 2*q_i - q_last < 2*q_i when ind
+    red = jnp.where(ind, last_coeff + (oq + oq - q_last), last_coeff)
+    red = _reduce_small(red, oq)
     red_eval = ntt(red, out_nt)
     diff = modsub(c[: level - 1], red_eval, oq)
     mont, pl, sh = qinv_tabs

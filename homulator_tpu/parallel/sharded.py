@@ -49,7 +49,7 @@ from ..context import (
     DeviceContext, KeySwitchLevelTables, ModUpDigitTables, NttBasis,
     TailTables,
 )
-from ..ops.automorph import automorph_eval_shardperm
+from ..ops.automorph import automorph_eval_sharded, automorph_eval_shardperm
 from ..ops.keyswitch import keyswitch, keyswitch_pieces
 from ..ops.modmath import modadd
 
@@ -67,6 +67,10 @@ def _ntt_basis_specs(nb: NttBasis, axis: str) -> NttBasis:
 
     pfwd = (P(), P(), mid, mid, P(), P()) if nb.pfwd else ()
     pinv = (P(), P(), mid, mid, P(), P()) if nb.pinv else ()
+    # packed tables: replicated except the per-device mid stacks (leading
+    # [ns] device axis at tuple positions 3, 4 — see NttBasis docstring)
+    midp = P(axis, None, None, None)
+    packed_sp = (P(), P(), P(), midp, midp, P(), P())
     return NttBasis(
         q=P(), qinv=P(), r2=P(),
         stage1=tuple(P() for _ in nb.stage1),
@@ -78,6 +82,8 @@ def _ntt_basis_specs(nb: NttBasis, axis: str) -> NttBasis:
         pfwd=pfwd, pinv=pinv,
         n1=nb.n1, n2=nb.n2, use_pallas=nb.use_pallas,
         interpret=nb.interpret, shard_axis=nb.shard_axis,
+        pfwd_packed=packed_sp if nb.pfwd_packed else (),
+        pinv_packed=packed_sp if nb.pinv_packed else (),
     )
 
 
@@ -123,6 +129,7 @@ def _keyswitch_specs(kt: KeySwitchLevelTables, axis: str) -> KeySwitchLevelTable
 def make_shardmap_hmult(
     dc: DeviceContext, level: int, mesh: Mesh, *,
     axis: str = "coeff", data_axis: Optional[str] = None,
+    packed: bool = True,
 ):
     """jitted hmult over `mesh` with the coefficient (trailing) axis of
     every array sharded over mesh axis `axis`, running the SINGLE-CHIP
@@ -136,9 +143,15 @@ def make_shardmap_hmult(
     ns = mesh.shape[axis]
     t = dc.params.ntt
     assert t.n1 % ns == 0 and t.n2 % ns == 0, (t.n1, t.n2, ns)
-    kt = dc.keyswitch_tables(level, shard_axis=axis)
-    last_nt = dc.ntt_basis((level - 1,), shard_axis=axis)
-    out_nt = dc.ntt_basis(dc.main_rows(level - 1), shard_axis=axis)
+    # packed=True routes narrow per-shard transforms (c = n2/ns < 128
+    # lanes) through the lane-packed kernels; ntt_basis gates on shape,
+    # so this is a no-op for full-width shards. packed=False keeps the
+    # per-limb kernels (A/B baseline).
+    pack_ns = ns if packed else 0
+    kt = dc.keyswitch_tables(level, shard_axis=axis, pack_ns=pack_ns)
+    last_nt = dc.ntt_basis((level - 1,), shard_axis=axis, pack_ns=pack_ns)
+    out_nt = dc.ntt_basis(dc.main_rows(level - 1), shard_axis=axis,
+                          pack_ns=pack_ns)
     rs = dc.rescale_qinv_mont(level)
 
     kt_sp = _keyswitch_specs(kt, axis)
@@ -173,10 +186,17 @@ def _hrotate_body(a, local_src, rotk, kt, axis, perm_pairs):
     shard instead of all_gather's ns-1; ops/automorph.build_shard_route)
     -> KeySwitch (local Pallas kernels, all_to_all NTT transposes) -> add.
     Mirrors _hrotate_graph (api.py) / the reference's HROTATE
-    (src/Operation.cpp:1271-1451)."""
+    (src/Operation.cpp:1271-1451). perm_pairs=None is the gather-route
+    sentinel (non-block-aligned Galois element, ops/automorph.
+    BlockAlignmentError): local_src is then the FULL flat permutation and
+    the automorphism falls back to all_gather + local permute + re-slice."""
     q = kt.main_nt.q[:, None, None]
-    r0 = automorph_eval_shardperm(a[0], local_src, perm_pairs, axis)
-    r1 = automorph_eval_shardperm(a[1], local_src, perm_pairs, axis)
+    if perm_pairs is None:
+        r0 = automorph_eval_sharded(a[0], local_src, axis)
+        r1 = automorph_eval_sharded(a[1], local_src, axis)
+    else:
+        r0 = automorph_eval_shardperm(a[0], local_src, perm_pairs, axis)
+        r1 = automorph_eval_shardperm(a[1], local_src, perm_pairs, axis)
     if kt.main_nt.use_pallas:
         e0, e1 = keyswitch_pieces(r1, rotk, kt)
     else:
@@ -186,6 +206,7 @@ def _hrotate_body(a, local_src, rotk, kt, axis, perm_pairs):
 
 def make_shardmap_hrotate(
     dc: DeviceContext, level: int, mesh: Mesh, *, axis: str = "coeff",
+    packed: bool = True,
 ):
     """Returns f(a, route, rotk) -> rotated ciphertext data, coefficient
     axis sharded over `axis` (see make_shardmap_hmult). `route` is
@@ -196,18 +217,22 @@ def make_shardmap_hrotate(
     ns = mesh.shape[axis]
     t = dc.params.ntt
     assert t.n1 % ns == 0 and t.n2 % ns == 0, (t.n1, t.n2, ns)
-    kt = dc.keyswitch_tables(level, shard_axis=axis)
+    kt = dc.keyswitch_tables(level, shard_axis=axis,
+                             pack_ns=ns if packed else 0)
     kt_sp = _keyswitch_specs(kt, axis)
     ct_sp = P(None, None, None, axis)
     evk_sp = P(None, None, None, None, axis)
 
     @functools.lru_cache(maxsize=None)
     def compiled(perm_pairs):
+        # pairs=None: gather-route fallback — local_src is the full flat
+        # permutation (replicated), not a per-device table.
+        lsrc_sp = P() if perm_pairs is None else P(axis, None)
         f = jax.shard_map(
             functools.partial(_hrotate_body, axis=axis,
                               perm_pairs=perm_pairs),
             mesh=mesh,
-            in_specs=(ct_sp, P(axis, None), evk_sp, kt_sp),
+            in_specs=(ct_sp, lsrc_sp, evk_sp, kt_sp),
             out_specs=ct_sp,
             check_vma=False,
         )
@@ -225,7 +250,8 @@ def make_shardmap_hrotate(
     return run
 
 
-def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
+def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult", *,
+                     route_identity: bool = False) -> int:
     """EXACT per-device ICI receive volume (bytes) of one shard_map op at
     `level` over an ns-way 'coeff' axis — counted from the collective
     schedule of the graph, the analog of the reference's NoC_Mem_Chip
@@ -238,8 +264,10 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
     ONE whole-shard ppermute (ops/automorph.build_shard_route): receive =
     the local [level, n2, n1/ns] shard = level * N/ns * 4 — (ns-1) x less
     than the all_gather form it replaced (r3 weak #1). This counts the
-    non-identity worst case; Galois elements whose induced block map is
-    the identity emit NO collective at all (the route skips the ppermute).
+    non-identity worst case by default; Galois elements whose induced
+    block map is the identity emit NO collective at all — pass
+    route_identity=True (from the route's is_identity flag,
+    dc.automorph_shard_route) to bill those correctly (ADVICE r4).
     (A round-1..2 version of this function reported the all-device total,
     ns x the per-device receive — caught by the HLO reconciliation.)
     """
@@ -257,8 +285,9 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult") -> int:
         transforms += 2 * (alpha + 1 + level - 1)
     elif op == "hrotate":
         # 2 moddowns: intt(alpha) + ntt(level); 2 automorph ppermutes
+        # (zero when the requested element's block map is the identity)
         transforms += 2 * (alpha + level)
-        autos = 2
+        autos = 0 if route_identity else 2
     else:
         raise ValueError(op)
     per_tf = (ns - 1) * n * 4 // (ns * ns)

@@ -423,22 +423,39 @@ class RefCkks:
 
     # --------------------------------------------------------------- rescale
     def rescale(self, ct: RefCiphertext) -> RefCiphertext:
-        """Drop the last limb: c'_i = (c_i - [c_last]_{q_i}) * q_last^{-1}."""
+        """Drop the last limb: c'_i = (c_i - [c_last]_{q_i}) * q_last^{-1},
+        with the CENTERED remainder r~ = r - q_last*[r >= ceil(q_last/2)].
+
+        Centering is load-bearing, not cosmetic: with the uncentered
+        r in [0, q_last), the decrypt error gains -(r0 + r1*s)/q_last whose
+        r1*s term has mean -(1/2)*sum_j(+-s_j) — a KEY-dependent DC bias
+        of ~sqrt(N) coefficient units that the canonical embedding
+        amplifies ~N/pi-fold into a deterministic slot-0 tone (measured
+        1.3e-2 at set B before the fix, BENCH_NOTES r5). Centering makes
+        E[r~] ~ 0 and the division a rounding, killing the tone."""
         p = self.p
         level = ct.level
         new_level = level - 1
         last_idx = np.array([level - 1])
+        q_last = int(p.qs[level - 1])
+        th = np.uint64((q_last + 1) // 2)
         out = np.zeros((2, new_level, p.n), dtype=np.uint64)
         main_idx = self.main_idx(new_level)
         qinv = p.rescale_qinv[level - 1, :new_level][:, None]
         for k in range(2):
             last_coeff = self.intt(ct.data[k, level - 1: level], last_idx)[0]
-            # Reduce the [0, q_last) coefficients into each remaining basis.
+            ind = last_coeff >= th  # centered rep = r - q_last * ind
+            # Reduce the centered coefficients into each remaining basis.
             red = np.zeros((new_level, p.n), dtype=np.uint64)
             for i in range(new_level):
-                qi = p.qs[i]
-                v = last_coeff.copy()
-                v = np.where(v >= qi, v - qi, v)  # q_last < 2*q_i always
+                qi = int(p.qs[i])
+                # r + 2*q_i - q_last in [0, 2*q_i) when ind (q_last < 2*q_i)
+                v = np.where(
+                    ind,
+                    last_coeff + np.uint64(2 * qi - q_last),
+                    last_coeff,
+                )
+                v = np.where(v >= qi, v - np.uint64(qi), v)
                 red[i] = v
             red_eval = self.ntt(red, main_idx)
             diff = self.modsub(ct.data[k, :new_level], red_eval, main_idx)

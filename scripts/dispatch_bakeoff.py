@@ -8,8 +8,9 @@ sequence-parallel analog, parallel/sharded.py). Both ICI formulas are
 EXACT counts of the collective schedule, each pinned to its lowered HLO by
 tests/test_sharding.py (test_ici_bytes_reconcile_with_hlo /
 test_limb_ici_bytes_reconcile_with_hlo), so this table is arithmetic over
-verified counters — no device needed. The CLI's auto dispatch picks the
-row-wise minimum (cli.py).
+verified counters — no device needed. The CLI's auto dispatch picks by the
+projected-time model (parallel/dispatch_model.py) built from these
+counters + measured per-shard compute; this table carries both.
 
 Writes DISPATCH_BAKEOFF.json and prints a table. Set B params (N=2^16,
 maxLevel=45, alpha=15), levels {35, 22, 11} x ns {2, 4, 8} per the
@@ -23,25 +24,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from homulator_tpu.params import get_params  # noqa: E402
-from homulator_tpu.parallel.limb_sharded import ici_bytes_per_op_limb  # noqa: E402
+from homulator_tpu.parallel.dispatch_model import (  # noqa: E402
+    coeff_collective_count, predict_ms,
+)
+from homulator_tpu.parallel.limb_sharded import (  # noqa: E402
+    ici_bytes_per_op_limb, limb_collective_count,
+)
 from homulator_tpu.parallel.sharded import ici_bytes_per_op  # noqa: E402
-
-
-def coeff_collective_count(params, level, op):
-    """Number of collective LAUNCHES on the coeff path. Each ntt/intt
-    CALL moves all its rows through ONE all_to_all (_transpose_a2a acts
-    on the whole [M, a, b/ns] batch), so the count is per call, not per
-    row: ModUp = 1 iNTT call + beta digit-NTT calls; hmult tails = per
-    key iNTT(specials) + iNTT(zl) + NTT(out) = 3 calls x 2; hrotate
-    ModDown = per key iNTT(specials) + NTT(main) = 2 calls x 2, plus the
-    2 automorphism ppermutes. (An earlier revision counted transform ROWS
-    (~250) as collectives — a ~20x overcount of the launch-latency term,
-    caught in review; the VOLUME accounting was always per-row and
-    HLO-reconciled.)"""
-    beta = params.beta(level)
-    if op == "hmult":
-        return 1 + beta + 2 * 3
-    return 1 + beta + 2 * 2 + 2
 
 
 def main() -> int:
@@ -55,15 +44,29 @@ def main() -> int:
                 # kernel-shaped — always satisfied at N=2^16 (256x256 tiles)
                 # for ns <= 32.
                 coeff = ici_bytes_per_op(params, level, ns, op)
+                # chosen = the projected-time model when measurement
+                # anchors exist (parallel/dispatch_model.py — the same
+                # rule the CLI auto dispatch applies), else ICI volume.
+                t_l = predict_ms(params, op, "limb", ns, level)
+                t_c = predict_ms(params, op, "coeff", ns, level)
+                if t_l is not None and t_c is not None:
+                    chosen = "limb" if t_l <= t_c else "coeff"
+                else:
+                    chosen = "limb" if limb <= coeff else "coeff"
                 rows.append({
                     "op": op, "level": level, "ns": ns,
                     "ici_limb_mb": round(limb / 1e6, 3),
                     "ici_coeff_mb": round(coeff / 1e6, 3),
                     "coeff_over_limb": round(coeff / limb, 2),
-                    "collectives_limb": 2 if op == "hrotate" else 3,
+                    "collectives_limb": limb_collective_count(
+                        params, level, ns, op),
                     "collectives_coeff": coeff_collective_count(
                         params, level, op),
-                    "chosen": "limb" if limb <= coeff else "coeff",
+                    "t_model_limb_ms": t_l and round(t_l, 4),
+                    "t_model_coeff_ms": t_c and round(t_c, 4),
+                    "chosen": chosen,
+                    "chosen_by": ("model" if t_l is not None
+                                  and t_c is not None else "volume"),
                 })
     out = {
         "params": {"n": 2**16, "max_level": 45, "alpha": 15},

@@ -456,3 +456,108 @@ def test_limb_ici_bytes_reconcile_with_hlo(pallas_engine, op):
     measured = ici_bytes_from_lowered(lowered.as_text(), ns)
     analytic = ici_bytes_per_op_limb(eng.params, level, ns, op)
     assert measured == analytic, (op, measured, analytic)
+
+
+def test_coeff_shard_ok_predicate():
+    """One shardability predicate, shared by cli.py and
+    __graft_entry__.dryrun_multichip (VERDICT r4 weak #6)."""
+    from homulator_tpu.parallel.mesh import coeff_shard_ok
+
+    # N=2^16: n1 = n2 = 256 -> ok through ns=32 (tile 8), not 64
+    assert coeff_shard_ok(256, 256, 8)
+    assert coeff_shard_ok(256, 256, 32)
+    assert not coeff_shard_ok(256, 256, 64)
+    # non-dividing mesh
+    assert not coeff_shard_ok(256, 256, 3)
+    # N=256 toy params: 16x16 tiles, kernel tiles only to ns=2
+    assert coeff_shard_ok(16, 16, 2)
+    assert not coeff_shard_ok(16, 16, 4)
+    # interpret-mode callers (dryrun) relax the kernel minimum
+    assert coeff_shard_ok(16, 16, 4, min_tile=4)
+
+
+def test_hrotate_gather_route_fallback(pallas_engine):
+    """A route with pairs=None (the BlockAlignmentError sentinel,
+    ADVICE r4) must run the all_gather automorphism fallback inside
+    make_shardmap_hrotate and stay bit-exact."""
+    eng = pallas_engine
+    level = 8
+    step = 3
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(1, 4), n_devices=4, axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=23)[0]
+    g = eng.params.galois_elt(step)
+    perm = eng.dc.automorph_perm(g)
+    route = (perm, None, False)  # forced gather-route sentinel
+    f = make_shardmap_hrotate(eng.dc, level, mesh)
+    out = np.asarray(f(a, route, eng.rot_keys[step]))
+    ref = np.asarray(
+        _hrotate_graph(a, perm, eng.rot_keys[step],
+                       eng.dc.keyswitch_tables(level))
+    )
+    assert np.array_equal(out, ref)
+
+
+def test_ici_bytes_route_identity_flag():
+    """route_identity=True drops the 2 automorph ppermutes from the coeff
+    hrotate ICI bill (ADVICE r4: identity block maps emit no collective)."""
+    from homulator_tpu.parallel.sharded import ici_bytes_per_op
+
+    params = get_params(n=256, max_level=8, alpha=4)
+    ns, level = 4, 8
+    full = ici_bytes_per_op(params, level, ns, "hrotate")
+    ident = ici_bytes_per_op(params, level, ns, "hrotate",
+                             route_identity=True)
+    assert full - ident == 2 * level * params.n * 4 // ns
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ns", [4, 8])
+def test_packed_coeff_shard_matches_unpacked(ns):
+    """Lane-packed narrow-shard routing (N=2^14 -> 128x128 tiles, so an
+    ns-way coeff mesh gives c = 128/ns < 128 lanes): make_shardmap_hmult
+    with packed tables must be bit-exact vs packed=False and vs the
+    single-chip graph (VERDICT r4 missing #2)."""
+    params = get_params(n=1 << 14, max_level=8, alpha=4)
+    eng = CkksEngine(params, seed=11, ntt_mode="interpret")
+    eng.keygen()
+    level = 6
+    mesh = make_mesh(shape=(1, ns), n_devices=ns,
+                     axis_names=("data", "coeff"))
+    a = _batch(eng, level, 2, seed=31)
+    # packed tables really built?
+    kt = eng.dc.keyswitch_tables(level, shard_axis="coeff", pack_ns=ns)
+    assert kt.main_nt.pfwd_packed, "packed tables not built"
+    f_packed = make_shardmap_hmult(eng.dc, level, mesh)
+    f_plain = make_shardmap_hmult(eng.dc, level, mesh, packed=False)
+    out_p = np.asarray(f_packed(a[0], a[1], eng.relin_key))
+    out_u = np.asarray(f_plain(a[0], a[1], eng.relin_key))
+    assert np.array_equal(out_p, out_u)
+    ref = _hmult_ref(eng, a[0], a[1], level)
+    assert np.array_equal(out_p, ref)
+
+
+@pytest.mark.slow
+def test_packed_coeff_shard_hrotate_matches_unpacked():
+    """Same check for hrotate (automorph route + packed keyswitch)."""
+    ns = 4
+    params = get_params(n=1 << 14, max_level=8, alpha=4)
+    eng = CkksEngine(params, seed=12, ntt_mode="interpret")
+    eng.keygen()
+    level = 6
+    step = 2
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(1, ns), n_devices=ns,
+                     axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=37)[0]
+    g = eng.params.galois_elt(step)
+    route = eng.dc.automorph_shard_route(g, ns)
+    f_packed = make_shardmap_hrotate(eng.dc, level, mesh)
+    f_plain = make_shardmap_hrotate(eng.dc, level, mesh, packed=False)
+    out_p = np.asarray(f_packed(a, route, eng.rot_keys[step]))
+    out_u = np.asarray(f_plain(a, route, eng.rot_keys[step]))
+    assert np.array_equal(out_p, out_u)
+    perm = eng.dc.automorph_perm(g)
+    ref = np.asarray(_hrotate_graph(
+        a, perm, eng.rot_keys[step], eng.dc.keyswitch_tables(level)))
+    assert np.array_equal(out_p, ref)
