@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Hybrid limb x coeff 2-D mesh arithmetic (VERDICT r4 missing #3).
+
+The reference composes its two dispatch dimensions — limb % cluster for
+transforms AND 2-D (batch x limb) MAC-grid tiling for BCONV/IP
+(include/Driver.h:209-285). The repo's explicit meshes are 1-D per axis;
+this script does the arithmetic for 2-D (ns_l limb rows x ns_c coeff
+columns) compositions from the MEASURED 1-D tables before any build:
+
+  T_comp(ns_l, ns_c) ~ T_comp_limb(ns_l) * colratio(ns_c)
+      colratio(ns_c) = measured coeff-axis compute ratio
+      compute(coeff, ns_c) / T1 — the measured cost of running the same
+      per-row kernel work on 1/ns_c of the columns (NOT 1/ns_c: the
+      butterfly kernels do not scale linearly in width, which is exactly
+      the coeff path's measured flatness).
+  ICI(ns_l, ns_c) = bytes_limb(ns_l)/ns_c            (row gathers carry
+                    column slices)
+                  + bytes_coeff(ns_c)/ns_l           (transforms run on
+                    this device's row block only)
+  colls = limb gather chunks + coeff per-transform launches
+  H = the limb overlap credit, bounded by the column-scaled overlappable
+      sections.
+
+All inputs are measured (compute anchors, overlap sections) or exact
+(ICI formulas); the composition itself is the estimate — stated as such.
+Appends hybrid_rows to SCALING.json and prints the ranking vs the 1-D
+axes. Pure arithmetic; no devices needed.
+"""
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from homulator_tpu.params import get_params  # noqa: E402
+from homulator_tpu.parallel import dispatch_model  # noqa: E402
+from homulator_tpu.parallel.dispatch_model import (  # noqa: E402
+    BW0, TCOLL0, coeff_collective_count,
+)
+from homulator_tpu.parallel.limb_sharded import (  # noqa: E402
+    _ceil_div, _pick_gchunks, ici_bytes_per_op_limb, limb_collective_count,
+)
+from homulator_tpu.parallel.sharded import ici_bytes_per_op  # noqa: E402
+
+LEVEL = 35
+
+
+def hybrid_t_ms(params, op, ns_l, ns_c, level, meas):
+    t1_ms = meas["t1_ms"][op]
+    comp_l = dispatch_model._interp_level(
+        meas["compute_ms"][f"{op}|limb|{ns_l}"], level)
+    comp_c_ratio = dispatch_model._interp_level(
+        meas["compute_ms"][f"{op}|coeff|{ns_c}"], level) / t1_ms
+    comp = comp_l * comp_c_ratio
+    ici_l = ici_bytes_per_op_limb(params, level, ns_l, op) / ns_c
+    # coeff a2a volume over this device's row block only (~1/ns_l of the
+    # full-row transform schedule; hrotate's ppermute term scales the
+    # same way: level/ns_l local rows)
+    ici_c = ici_bytes_per_op(params, level, ns_c, op) / ns_l
+    ici = ici_l + ici_c
+    colls = (limb_collective_count(params, level, ns_l, op)
+             + coeff_collective_count(params, level, op))
+    t = comp / 1e3 + ici / BW0 + colls * TCOLL0
+    # limb overlap credit, sections scaled by the column compute ratio
+    G = _pick_gchunks(params.ntt.n1, params.ntt.n2)
+    ov = meas["overlap_ms"].get(f"{op}|{ns_l}")
+    h = 0.0
+    if ov and G > 1:
+        o_scaled = (ov["modup"] + ov["tail"]) * comp_c_ratio / 1e3
+        h = min(ici_l / BW0 * (G - 1) / G, o_scaled)
+        t -= h
+    return {
+        "op": op, "axis": f"hybrid_{ns_l}limb_x_{ns_c}coeff",
+        "ns": ns_l * ns_c, "ns_l": ns_l, "ns_c": ns_c,
+        "compute_ms": round(comp, 4),
+        "compute_note": (f"limb({ns_l})={comp_l:.3f} x "
+                         f"colratio({ns_c})={comp_c_ratio:.3f} (estimate)"),
+        "ici_mb": round(ici / 1e6, 2),
+        "ici_limb_mb": round(ici_l / 1e6, 2),
+        "ici_coeff_mb": round(ici_c / 1e6, 2),
+        "collectives": colls,
+        "overlap_credit_ms": round(1e3 * h, 4),
+        "t_ms": round(1e3 * t, 4),
+        "efficiency": round(t1_ms / (ns_l * ns_c * 1e3 * t), 4),
+    }
+
+
+def main() -> int:
+    if dispatch_model.MEASURED is None:
+        print("no _scaling_measured.py — run scripts/scaling_projection.py"
+              " first", file=sys.stderr)
+        return 1
+    meas = dict(dispatch_model.MEASURED)
+    params = get_params(n=2**16, max_level=45, alpha=15)
+    with open(os.path.join(ROOT, "SCALING.json")) as f:
+        scaling = json.load(f)
+    meas["t1_ms"] = {"hmult": scaling["t1_hmult_ms"],
+                     "hrotate": scaling["t1_hrotate_ms"]}
+
+    combos = [(2, 2), (4, 2), (2, 4)]
+    rows = []
+    for op in ("hmult", "hrotate"):
+        for ns_l, ns_c in combos:
+            rows.append(hybrid_t_ms(params, op, ns_l, ns_c, LEVEL, meas))
+    # 1-D comparators at the same total ns
+    print(f"{'op':8} {'shape':22} {'comp':>7} {'ici':>7} {'T(ms)':>7} "
+          f"{'eff':>7}")
+    for op in ("hmult", "hrotate"):
+        for ns in (4, 8):
+            for axis in ("limb", "coeff"):
+                t = dispatch_model.predict_ms(params, op, axis, ns, LEVEL)
+                t1 = meas["t1_ms"][op]
+                print(f"{op:8} 1-D {axis:5} ns={ns:<2}        "
+                      f"{'':>7} {'':>7} {t:7.3f} "
+                      f"{t1 / (ns * t):7.2%}")
+        for r in rows:
+            if r["op"] != op:
+                continue
+            print(f"{op:8} {r['axis']:22} {r['compute_ms']:7.3f} "
+                  f"{r['ici_mb']:7.2f} {r['t_ms']:7.3f} "
+                  f"{r['efficiency']:7.2%}")
+    scaling["hybrid_rows"] = rows
+    scaling["hybrid_note"] = (
+        "analytic composition of measured 1-D tables (compute = "
+        "limb(ns_l) x measured column ratio; ICI exact per axis); the "
+        "reference's 2-D analog is Driver.h:209-285")
+    with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
+        json.dump(scaling, f, indent=1)
+    print("# appended hybrid_rows to SCALING.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
