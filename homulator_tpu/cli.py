@@ -128,27 +128,47 @@ def run_op(args) -> int:
         ici_coeff = (ici_bytes_per_op(params, rc.level, n_mesh, rc.op,
                                       route_identity=route_ident)
                      if coeff_ok else None)
-        if args.dispatch in ("limb", "coeff"):
+        # hybrid factorization: ns_l x 2 (the measured-winning shape —
+        # limb rows stay in their efficient regime, columns halve every
+        # gather; SCALING.json hybrid rows)
+        hybrid_ok = (n_mesh >= 4 and n_mesh % 2 == 0
+                     and ks_op and coeff_shard_ok(t_n1, t_n2, 2))
+        if args.dispatch in ("limb", "coeff", "hybrid"):
             dispatch = args.dispatch
             if dispatch == "coeff" and not coeff_ok:
                 raise SystemExit(
                     f"--dispatch coeff needs n1,n2 % {n_mesh} == 0 and "
                     f"per-shard tiles >= 8 (n1={t_n1}, n2={t_n2})")
+            if dispatch == "hybrid" and not hybrid_ok:
+                raise SystemExit(
+                    "--dispatch hybrid needs an even cluster >= 4 and a "
+                    "2-way-shardable coefficient tile")
         else:
             # model-based auto: projected T(ns) from measured per-shard
             # compute + exact ICI + collective count - overlap credit
             # (parallel/dispatch_model.py; ICI-volume fallback when no
-            # measurement anchors cover this shape)
+            # measurement anchors cover this shape). The 2-D hybrid
+            # enters the comparison when its anchors exist.
+            from .parallel.dispatch_model import predict_hybrid_ms
+
             dispatch, t_l, t_c, how = choose_axis(
                 params, rc.op, n_mesh, rc.level, coeff_ok=coeff_ok,
                 route_identity=route_ident)
+            t_h = (predict_hybrid_ms(params, rc.op, n_mesh // 2, 2,
+                                     rc.level, route_identity=route_ident)
+                   if hybrid_ok and how == "model" else None)
             if how == "model":
+                best = min(x for x in (t_l, t_c, t_h) if x is not None)
+                if t_h is not None and t_h == best:
+                    dispatch = "hybrid"
                 pred_note = (
                     f"; predicted T: limb={t_l:.3f} ms, coeff="
-                    + (f"{t_c:.3f} ms" if t_c is not None else "n/a"))
+                    + (f"{t_c:.3f} ms" if t_c is not None else "n/a")
+                    + (f", hybrid({n_mesh // 2}x2)={t_h:.3f} ms"
+                       if t_h is not None else ""))
             else:
                 pred_note = "; picked by ICI volume (no model anchors)"
-    use_shardmap = dispatch in ("limb", "coeff")
+    use_shardmap = dispatch in ("limb", "coeff", "hybrid")
     with stats.timer("setup/engine"):
         if use_shardmap:
             # Pallas kernels per shard: interpret mode on CPU backends.
@@ -191,7 +211,42 @@ def run_op(args) -> int:
                 + f" -> {dispatch}"
                 + ("" if args.dispatch == "auto" else " (forced)")
                 + pred_note)
-        if dispatch == "limb":
+        if dispatch == "hybrid":
+            # 2-D limb x coeff mesh (the reference's limb dispatch
+            # composed with 2-D BCONV/IP tiling, Driver.h:209-285)
+            from .parallel.limb_sharded import (
+                evk_limb_row_order, ici_bytes_per_op_hybrid,
+                make_hybrid_hmult, make_hybrid_hrotate, pad_main_rows,
+            )
+
+            ns_l, ns_c = n_mesh // 2, 2
+            mesh = _mk(shape=(ns_l, ns_c), n_devices=n_mesh,
+                       axis_names=("limb", "coeff"))
+            ct_sh = NamedSharding(mesh, P(None, "limb", None, "coeff"))
+            key_sh = NamedSharding(
+                mesh, P(None, None, "limb", None, "coeff"))
+            order = jnp.asarray(evk_limb_row_order(params, rc.level, ns_l))
+            limb_a = jax.device_put(
+                pad_main_rows(ct1.data, rc.level, ns_l), ct_sh)
+            limb_b = None
+            if rc.op == "hmult":
+                limb_b = jax.device_put(
+                    pad_main_rows(ct2.data, rc.level, ns_l), ct_sh)
+                eng.relin_key = jax.device_put(
+                    jnp.take(eng.relin_key, order, axis=2), key_sh)
+                shardmap_fn = make_hybrid_hmult(eng.dc, rc.level, mesh)
+            else:
+                eng.gen_rotation_key(1)
+                eng.rot_keys[1] = jax.device_put(
+                    jnp.take(eng.rot_keys[1], order, axis=2), key_sh)
+                shardmap_fn = make_hybrid_hrotate(eng.dc, rc.level, mesh)
+            ici = ici_bytes_per_op_hybrid(
+                params, rc.level, ns_l, ns_c, rc.op,
+                route_identity=route_ident)
+            print(f"# dispatch=shard_map+pallas axis=hybrid mesh=({ns_l} "
+                  f"limb, {ns_c} coeff) ici_bytes_per_device={ici} — "
+                  f"{both}")
+        elif dispatch == "limb":
             from .parallel.limb_sharded import (
                 evk_limb_row_order, make_limb_hmult, make_limb_hrotate,
                 pad_main_rows,
@@ -288,7 +343,7 @@ def run_op(args) -> int:
             from .context import Ciphertext
 
             if rc.op == "hmult":
-                if dispatch == "limb":
+                if dispatch in ("limb", "hybrid"):
                     data = shardmap_fn(limb_a, limb_b, eng.relin_key)
                     data = data[:, : rc.level - 1]  # drop zeroed pad rows
                 else:
@@ -300,6 +355,11 @@ def run_op(args) -> int:
             if dispatch == "limb":
                 perm = eng.dc.automorph_perm(params.galois_elt(1))
                 data = shardmap_fn(limb_a, perm, eng.rot_keys[1])
+                data = data[:, : rc.level]
+            elif dispatch == "hybrid":
+                route = eng.dc.automorph_shard_route(
+                    params.galois_elt(1), 2)
+                data = shardmap_fn(limb_a, route, eng.rot_keys[1])
                 data = data[:, : rc.level]
             else:
                 route = eng.dc.automorph_shard_route(
@@ -411,7 +471,7 @@ def main(argv=None) -> int:
                       help="optional device-mesh size (the reference's 6th "
                            "positional, bench_micro24.cpp:23-25)")
     runp.add_argument("--dispatch", default="auto",
-                      choices=["auto", "limb", "coeff", "gspmd"],
+                      choices=["auto", "limb", "coeff", "hybrid", "gspmd"],
                       help="multi-chip dispatch axis for keyswitch ops "
                            "(auto = min projected T from the measured "
                            "compute+ICI+overlap model, parallel/"

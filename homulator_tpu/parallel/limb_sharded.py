@@ -179,12 +179,24 @@ def _pick_gchunks(n1: int, n2: int) -> int:
 
 
 def build_limb_tables(dc: DeviceContext, level: int, ns: int,
-                      gchunks: Optional[int] = None) -> LimbTables:
-    """Host-side table build for the limb-sharded key switch (cached on dc)."""
+                      gchunks: Optional[int] = None,
+                      col_axis: Optional[str] = None,
+                      col_ns: int = 0) -> LimbTables:
+    """Host-side table build for the limb-sharded key switch (cached on
+    dc). col_axis: when set (hybrid 2-D limb x coeff mesh, the analog of
+    the reference composing its limb dispatch with 2-D BCONV/IP tiling,
+    Driver.h:209-285), every NTT basis is built with that shard_axis so
+    the transforms inside the limb body run phase-split around an
+    all_to_all within the coeff subgroup; col_ns sizes the packed-kernel
+    gate for the column width."""
     t = dc.params.ntt
     if gchunks is None:
         gchunks = _pick_gchunks(t.n1, t.n2)
-    ck = ("limb", level, ns, gchunks)
+    # lane-packed kernels group k consecutive basis ROWS, which would
+    # cross limb-shard boundaries here — packed routing stays off inside
+    # the hybrid (its column widths are >= 64 lanes anyway at ns_c <= 4)
+    col_ns = 0
+    ck = ("limb", level, ns, gchunks, col_axis, col_ns)
     if ck in dc._ks_cache:
         return dc._ks_cache[ck]
     assert dc.ntt_mode != "jnp", "limb path runs the Pallas kernel graphs"
@@ -312,10 +324,10 @@ def build_limb_tables(dc: DeviceContext, level: int, ns: int,
         md1_sh=_pair(p.ks.moddown_step1[sr - L], qn[sr])[1],
         q_ext=jnp.asarray(qn[er].astype(np.uint32)),
         qinv_ext=jnp.asarray(p.qinv_neg[er].astype(np.uint32)),
-        main_nt=dc.ntt_basis(tuple(main_rows)),
-        sp_nt=dc.ntt_basis(tuple(sp_rows)),
-        ext_nt=dc.ntt_basis(tuple(ext_rows)),
-        tailzl_nt=dc.ntt_basis(tuple(tailzl_rows)),
+        main_nt=dc.ntt_basis(tuple(main_rows), col_axis, col_ns),
+        sp_nt=dc.ntt_basis(tuple(sp_rows), col_axis, col_ns),
+        ext_nt=dc.ntt_basis(tuple(ext_rows), col_axis, col_ns),
+        tailzl_nt=dc.ntt_basis(tuple(tailzl_rows), col_axis, col_ns),
         digits=tuple(digits),
         md_bf16=jnp.concatenate(md_mats, axis=0),
         md_hsh=jnp.concatenate(md_hshs, axis=0),
@@ -341,28 +353,49 @@ def build_limb_tables(dc: DeviceContext, level: int, ns: int,
 # --------------------------------------------------------------------------
 # PartitionSpec tree (axis 0 of every row-laid-out array over 'limb')
 # --------------------------------------------------------------------------
-def _ntt_specs_rows(nb: NttBasis, axis: str) -> NttBasis:
+def _ntt_specs_rows(nb: NttBasis, axis: str,
+                    col_axis: Optional[str] = None) -> NttBasis:
+    """Specs sharding the row (limb) axis of every table; with col_axis
+    (hybrid mesh) the [M, n1, n2] mid-twiddle tables additionally shard
+    their trailing column axis so each device gets its column slice (the
+    same slice the 1-D coeff path's P(None, None, axis) spec delivers)."""
     def lead(a):
         if getattr(a, "size", 1) == 0:
             return P()
         return P(*((axis,) + (None,) * (a.ndim - 1)))
 
+    def lead_mid(a):
+        if getattr(a, "size", 1) == 0:
+            return P()
+        if col_axis is not None and a.ndim == 3:
+            return P(axis, None, col_axis)
+        return lead(a)
+
+    def phase_specs(tabs):
+        # (stage, stage_sh, mid, mid_sh, stage2, stage2_sh): indices 2, 3
+        # are the [M, n1, n2] mid tables
+        return tuple(
+            lead_mid(a) if i in (2, 3) else lead(a)
+            for i, a in enumerate(tabs)
+        )
+
     return NttBasis(
         q=lead(nb.q), qinv=lead(nb.qinv), r2=lead(nb.r2),
         stage1=tuple(lead(s) for s in nb.stage1),
-        tw_mid=lead(nb.tw_mid),
+        tw_mid=lead_mid(nb.tw_mid),
         stage2=tuple(lead(s) for s in nb.stage2),
         istage1=tuple(lead(s) for s in nb.istage1),
-        tw_mid_inv=lead(nb.tw_mid_inv),
+        tw_mid_inv=lead_mid(nb.tw_mid_inv),
         istage2=tuple(lead(s) for s in nb.istage2),
-        pfwd=tuple(lead(a) for a in nb.pfwd),
-        pinv=tuple(lead(a) for a in nb.pinv),
+        pfwd=phase_specs(nb.pfwd),
+        pinv=phase_specs(nb.pinv),
         n1=nb.n1, n2=nb.n2, use_pallas=nb.use_pallas,
         interpret=nb.interpret, shard_axis=nb.shard_axis,
     )
 
 
-def _limb_specs(T: LimbTables, axis: str) -> LimbTables:
+def _limb_specs(T: LimbTables, axis: str,
+                col_axis: Optional[str] = None) -> LimbTables:
     sh = P(axis)  # row-sharded vector
 
     def digit_specs(dt: LimbDigitTables) -> LimbDigitTables:
@@ -377,10 +410,10 @@ def _limb_specs(T: LimbTables, axis: str) -> LimbTables:
         pqinv_pl=sh, pqinv_sh=sh, pinv_pl=sh, pinv_sh=sh,
         q_sp=sh, md1_pl=sh, md1_sh=sh,
         q_ext=sh, qinv_ext=sh,
-        main_nt=_ntt_specs_rows(T.main_nt, axis),
-        sp_nt=_ntt_specs_rows(T.sp_nt, axis),
-        ext_nt=_ntt_specs_rows(T.ext_nt, axis),
-        tailzl_nt=_ntt_specs_rows(T.tailzl_nt, axis),
+        main_nt=_ntt_specs_rows(T.main_nt, axis, col_axis),
+        sp_nt=_ntt_specs_rows(T.sp_nt, axis, col_axis),
+        ext_nt=_ntt_specs_rows(T.ext_nt, axis, col_axis),
+        tailzl_nt=_ntt_specs_rows(T.tailzl_nt, axis, col_axis),
         digits=tuple(digit_specs(dt) for dt in T.digits),
         md_bf16=P(axis, None), md_hsh=sh,
         one_sp_pl=P(), one_sp_sh=P(), q_sp_full=P(),
@@ -581,16 +614,30 @@ def _hmult_limb_body(a, b, evk, T: LimbTables, *, axis: str):
     return jnp.stack(outs)
 
 
-def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str):
+def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str,
+                       col_route=None):
     """Row-sharded hrotate: the automorphism is a ROW-LOCAL gather (zero
     ICI — the reference dispatches AUTO by limb for the same reason,
     Driver.h:178 / include/Components.h:201-238), then ModUp (chunked
     gather, _modup_ev_limb) + split inner product and a row-sharded
     ModDown around a chunk-pipelined bhat all_gather (the main-row IP is
     deferred past the gather issue so it overlaps the ICI transfer —
-    same structure as _hmult_limb_body)."""
-    r0 = automorph_eval(a[0], perm)
-    r1 = automorph_eval(a[1], perm)
+    same structure as _hmult_limb_body).
+
+    col_route=(col_axis, perm_pairs): hybrid mesh — columns are sharded
+    over col_axis, so `perm` is the device-local shard-route gather table
+    and the automorphism is one whole-shard ppermute within the coeff
+    subgroup (ops/automorph.automorph_eval_shardperm) instead of the flat
+    gather."""
+    if col_route is not None:
+        from ..ops.automorph import automorph_eval_shardperm
+
+        col_axis, pairs = col_route
+        r0 = automorph_eval_shardperm(a[0], perm, pairs, col_axis)
+        r1 = automorph_eval_shardperm(a[1], perm, pairs, col_axis)
+    else:
+        r0 = automorph_eval(a[0], perm)
+        r1 = automorph_eval(a[1], perm)
     ev = _modup_ev_limb(r1, T, axis)
     sa, sm, alpha = T.sa, T.sm, T.alpha
     q = T.q_main[:, None, None]
@@ -695,6 +742,122 @@ def make_limb_hrotate(dc: DeviceContext, level: int, mesh: Mesh, *,
         check_vma=False,
     )
     return jax.jit(lambda a, perm, rotk: f(a, perm, rotk, T))
+
+
+def make_hybrid_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
+                      row_axis: str = "limb", col_axis: str = "coeff",
+                      gchunks: Optional[int] = None):
+    """jitted f(a_pad, b_pad, evk_limb) -> out_pad over a 2-D
+    (row_axis x col_axis) mesh: RNS rows sharded over `row_axis` (the
+    reference's limb dispatch) AND every tile's trailing coefficient axis
+    sharded over `col_axis` (each transform runs phase-split around an
+    all_to_all within the coeff subgroup) — the composition the
+    reference builds as limb dispatch x 2-D BCONV/IP MAC-grid tiling
+    (Driver.h:155-191 + 209-285). Layouts as make_limb_hmult with the
+    trailing axis additionally sharded.
+
+    Wins where both 1-D axes saturate: at ns=8 (4 limb x 2 coeff) the
+    limb rows stay in their efficient regime (sm = 9 at level 35, not 5)
+    while the columns halve every gather's bytes — SCALING.json
+    hybrid_rows has the arithmetic, HYBRID measurement the outcome."""
+    ns_l = mesh.shape[row_axis]
+    ns_c = mesh.shape[col_axis]
+    t = dc.params.ntt
+    assert t.n1 % ns_c == 0 and t.n2 % ns_c == 0, (t.n1, t.n2, ns_c)
+    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis,
+                          col_ns=ns_c)
+    T_sp = _limb_specs(T, row_axis, col_axis)
+    ct_sp = P(None, row_axis, None, col_axis)
+    evk_sp = P(None, None, row_axis, None, col_axis)
+    f = jax.shard_map(
+        functools.partial(_hmult_limb_body, axis=row_axis), mesh=mesh,
+        in_specs=(ct_sp, ct_sp, evk_sp, T_sp),
+        out_specs=ct_sp,
+        check_vma=False,
+    )
+    return jax.jit(lambda a, b, evk: f(a, b, evk, T))
+
+
+def make_hybrid_hrotate(dc: DeviceContext, level: int, mesh: Mesh, *,
+                        row_axis: str = "limb", col_axis: str = "coeff",
+                        gchunks: Optional[int] = None):
+    """Hybrid-mesh hrotate (see make_hybrid_hmult). Returns f(a_pad,
+    route, rotk_limb); `route` is dc.automorph_shard_route(g, ns_c) — the
+    automorphism is limb-row-local AND one whole-shard ppermute within
+    the coeff subgroup (block-aligned column map,
+    ops/automorph.build_shard_route)."""
+    ns_l = mesh.shape[row_axis]
+    ns_c = mesh.shape[col_axis]
+    t = dc.params.ntt
+    assert t.n1 % ns_c == 0 and t.n2 % ns_c == 0, (t.n1, t.n2, ns_c)
+    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis,
+                          col_ns=ns_c)
+    T_sp = _limb_specs(T, row_axis, col_axis)
+    ct_sp = P(None, row_axis, None, col_axis)
+    evk_sp = P(None, None, row_axis, None, col_axis)
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(perm_pairs):
+        f = jax.shard_map(
+            functools.partial(_hrotate_limb_body, axis=row_axis,
+                              col_route=(col_axis, perm_pairs)),
+            mesh=mesh,
+            in_specs=(ct_sp, P(col_axis, None), evk_sp, T_sp),
+            out_specs=ct_sp,
+            check_vma=False,
+        )
+        return jax.jit(lambda a, lsrc, rotk: f(a, lsrc, rotk, T))
+
+    def run(a, route, rotk):
+        local_src, pairs, _ = route
+        return compiled(pairs)(a, local_src, rotk)
+
+    def lower(a, route, rotk):
+        local_src, pairs, _ = route
+        return compiled(pairs).lower(a, local_src, rotk)
+
+    run.lower = lower
+    return run
+
+
+def ici_bytes_per_op_hybrid(params, level: int, ns_l: int, ns_c: int,
+                            op: str = "hmult", *,
+                            route_identity: bool = False) -> int:
+    """EXACT per-device ICI receive bytes of one hybrid-mesh op,
+    HLO-reconciled by tests/test_sharding.py: the limb-axis row gathers
+    now carry column slices (1/ns_c of each row) and every transform
+    call inside the body pays one all_to_all within the coeff subgroup
+    ((ns_c-1)/ns_c of its local [rows, n1/ns_l-block, n2/ns_c] data).
+    hrotate adds 2 whole-shard automorph ppermutes (local shard each)."""
+    n = params.n
+    sm = _ceil_div(level, ns_l)
+    sa = _ceil_div(params.alpha, ns_l)
+    B = sa + sm
+    beta = params.beta(level)
+    # limb gathers (column-sliced rows)
+    if op == "hmult":
+        g_rows = sm + 2 * (sa + 1)
+    elif op == "hrotate":
+        g_rows = sm + 2 * sa
+    else:
+        raise ValueError(op)
+    gather = (ns_l - 1) * g_rows * (n // ns_c) * 4
+    # coeff a2a per transform CALL over this device's LOCAL rows:
+    # modup iNTT (sm) + beta digit NTTs (B each; ntt_rep under a
+    # shard_axis falls back to per-copy calls) + tails
+    if op == "hmult":
+        tf_rows = sm + beta * B + 2 * (sa + 1) + 2 * sm
+    else:
+        tf_rows = sm + beta * B + 2 * sa + 2 * sm
+    # tf_rows are already per-device row counts; each row's local slice
+    # is n/ns_c coefficients
+    a2a = tf_rows * (n // ns_c) * 4 * (ns_c - 1) // ns_c
+    autos = 0
+    if op == "hrotate" and not route_identity:
+        # 2 whole-shard ppermutes of the local [level_pad/ns_l] rows
+        # (zero when the element's column block map is the identity)
+        autos = 2 * (_ceil_div(level, ns_l)) * (n // ns_c) * 4
+    return gather + a2a + autos
 
 
 def pad_main_rows(data: jnp.ndarray, level: int, ns: int) -> jnp.ndarray:

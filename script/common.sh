@@ -34,7 +34,13 @@ run_set_op() {
   levels=$(printf '%s\n' "$max_level" $((3*max_level/4)) $((max_level/2)) \
     $((max_level/4)) 2 | sort -runk1)
   case "$op" in
-    hmult|hrotate) disps="limb coeff" ;;  # both explicit-collective axes
+    hmult|hrotate)
+      # all explicit-collective axes; the 2-D hybrid needs an even
+      # cluster >= 4 (cli.py --dispatch hybrid)
+      disps="limb coeff"
+      [ "$cluster" -ge 4 ] && [ $((cluster % 2)) -eq 0 ] && \
+        disps="$disps hybrid"
+      ;;
     *) disps="auto" ;;                    # non-keyswitch ops: GSPMD
   esac
   for lvl in $levels; do

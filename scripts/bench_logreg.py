@@ -5,9 +5,12 @@ The second workload-level artifact (after bench_workload.py's matvec):
 sigmoid(<x, w> + b) under encryption at the canonical set-B parameters,
 compiled as ONE XLA program —
 
-  score:   slotwise pmult + rescale, then a rotate-and-add reduction
-           (log2(slots) = 15 rotations, run as a lax.scan over stacked
-           rotation keys so the program stays constant-size), + b
+  score:   slotwise pmult, then a rotate-and-add reduction at the
+           PRE-rescale scale (log2(slots) = 15 rotations, run as a
+           lax.scan over stacked rotation keys so the program stays
+           constant-size; reducing before the rescale keeps the
+           accumulated keyswitch noise ~4 orders below the gate — see
+           the noise budget in the body), + b, then ONE rescale
   sigmoid: the standard degree-3 CKKS polynomial
            0.5 + 0.197 t - 0.004 t^3, evaluated with the graph-level
            hsquare / hmult / const-mul pieces across three levels of
@@ -127,9 +130,12 @@ def main() -> int:
 
     c_lin = const_mont(0.197, L2, delta_adj)
     c_cub = const_mont(-0.004, L4, delta)
+    # b joins BEFORE the rescale, at the product scale^2 (fits int64:
+    # 0.3 * 2^58 < 2^63)
     pt_b = eng.plaintext_ints(
-        np.concatenate([[int(round(b * s_prod))],
-                        np.zeros(n - 1, dtype=np.int64)]), L2, s_prod)
+        np.concatenate([[int(round(b * scale * scale))],
+                        np.zeros(n - 1, dtype=np.int64)]), level,
+        scale * scale)
     half_pt = eng.plaintext_ints(
         np.concatenate([[int(round(0.5 * s_out))],
                         np.zeros(n - 1, dtype=np.int64)]), L4, s_out)
@@ -146,20 +152,31 @@ def main() -> int:
     def logreg(ct, ptw, ps, rs_keys, ptb, clin, ccub, pthalf, T):
         (kt1_, last1_, out1_, rs1_, kt2_, last2_, out2_, rs2_,
          kt3_, last3_, out3_, rs3_, evk) = T
-        # score: pmult + rescale (35 -> 34)
+        # score: pmult, then the rotate-and-add reduction BEFORE the
+        # rescale. Noise budget (BENCH_NOTES r5): each rotation adds
+        # ~7e2-unit keyswitch noise per coefficient; through the 15-deep
+        # doubling tree that sums ~sqrt(2*slots)-fold. At the
+        # post-rescale scale (2^28.7) the accumulated slot error is
+        # ~1e-2 — the same magnitude as the verify gate (the r4 margin
+        # of 8.6e-3 was a coin flip, VERDICT r4 weak #5). At the
+        # pre-rescale scale (2^58) the same absolute noise is ~4e-10 per
+        # slot, so the reduction is noise-free and ONE rescale after it
+        # drops to the working scale.
         ptm = to_mont(ptw, r21, q1, qi1)
         prod = jnp.stack([mont_mul(ct[0], ptm, q1, qi1),
                           mont_mul(ct[1], ptm, q1, qi1)])
-        acc = jnp.stack([rescale_poly(prod[k], last1_, out1_, rs1_)
-                         for k in (0, 1)])
+
         # rotate-and-add reduction as a scan (constant program size)
         def body(a, xs):
             perm, rotk = xs
-            rot = _hrotate_graph(a, perm, rotk, kt2_)
-            return modadd(a, rot, q2[None]), 0.0
+            rot = _hrotate_graph(a, perm, rotk, kt1_)
+            return modadd(a, rot, q1[None]), 0.0
 
-        acc, _ = jax.lax.scan(body, acc, (ps, rs_keys))
-        t = acc.at[0].set(modadd(acc[0], ptb, q2))  # + b
+        acc, _ = jax.lax.scan(body, prod, (ps, rs_keys))
+        acc = acc.at[0].set(modadd(acc[0], ptb, q1))  # + b (scale^2)
+        acc = jnp.stack([rescale_poly(acc[k], last1_, out1_, rs1_)
+                         for k in (0, 1)])
+        t = acc
         # sigmoid: t2 = t^2 (34 -> 33); t3 = t * t2 (33 -> 32)
         t2 = _hsquare_graph(t, evk, kt2_, last2_, out2_, rs2_)
         t_dropped = t[:, : L3]

@@ -73,19 +73,27 @@ TCOLL_DCN = 25e-6
 BW_DCN0 = BW_DCN_GRID[1]
 
 
-def _patch_collectives(ns):
+def _patch_collectives(ns, ns_a2a=None):
     """Replace the collectives the shard bodies call with shape-preserving
     single-chip stand-ins (values become meaningless; compute shapes and
-    kernel launches stay exactly per-shard). Bench-process-only patching."""
+    kernel launches stay exactly per-shard). Bench-process-only patching.
+    ns sizes the row-gather axis; ns_a2a (hybrid meshes) the transform
+    all_to_all axis (defaults to ns for the 1-D paths)."""
     import jax
     import jax.numpy as jnp
 
     import homulator_tpu.ops.ntt as ntt_mod
 
+    if ns_a2a is None:
+        ns_a2a = ns
+
     def fake_all_gather(x, axis_name, *, axis=0, tiled=True):
         reps = [1] * x.ndim
         reps[axis] = ns
         return jnp.tile(x, reps)
+
+    def fake_ppermute(x, axis_name, perm):
+        return x
 
     def fake_axis_index(axis_name):
         return jnp.uint32(0)
@@ -96,8 +104,8 @@ def _patch_collectives(ns):
         # comparable local data movement cost.
         M, a, bl = y.shape
         z = jnp.swapaxes(y, 1, 2)  # [M, b/ns, a]
-        z = jnp.tile(z, (1, ns, 1))
-        return z[:, :, : a // ns]
+        z = jnp.tile(z, (1, ns_a2a, 1))
+        return z[:, :, : a // ns_a2a]
 
     def fake_packed_a2a(y, axis, ns_, k):
         # real: packed [G, a, k*(b/ns)] -> a2a -> 5-D local transpose ->
@@ -107,11 +115,12 @@ def _patch_collectives(ns):
         G, a, m = y.shape
         cb = m // k
         ra = a // ns_
-        z = y.reshape(G, ns_, ra, k, cb)
+        z = y.reshape(G, ns_, ra, k, cb)  # ns_ comes from the caller
         z = z.transpose(0, 1, 4, 3, 2)  # [G, ns, cb, k, ra]
         return z.reshape(G, ns_ * cb, k * ra)
 
     jax.lax.all_gather = fake_all_gather
+    jax.lax.ppermute = fake_ppermute
     jax.lax.axis_index = fake_axis_index
     ntt_mod._transpose_a2a = fake_transpose_a2a
     ntt_mod._packed_transpose_a2a = fake_packed_a2a
@@ -479,8 +488,67 @@ def main() -> int:
                   f"ip_main={1e3*sec_ip_main:.3f} tail={1e3*sec_tail_h:.3f}"
                   f" md={1e3*sec_md_r:.3f}", flush=True)
 
+    # ---- hybrid 2-D limb x coeff per-shard compute ----------------------
+    HYBRIDS = [] if smoke else [(2, 2), (4, 2)]
+    for ns_l, ns_c in HYBRIDS:
+        _patch_collectives(ns_l, ns_a2a=ns_c)
+        cols = params.ntt.n1 // ns_c
+        for lvl in LEVELS:
+            m = np.zeros(params.n, dtype=np.int64)
+            m[0] = int(3 * scale)
+            ct1 = eng.encrypt_ints(m, lvl, scale)
+            ct2 = eng.encrypt_ints(m, lvl, scale)
+            T = build_limb_tables(dc, lvl, ns_l, col_axis="coeff",
+                                  col_ns=ns_c)
+            spec = _limb_specs(T, "limb", "coeff")
+            T_l = _shard_slice(
+                _shard_slice(T, spec, "limb", ns_l), spec, "coeff", ns_c)
+            order = evk_limb_row_order(params, lvl, ns_l)
+            B = T.sa + T.sm
+            evk_rows = jnp.take(eng.relin_key, jnp.asarray(order[:B]),
+                                axis=2)[..., :cols]
+            rot_rows = jnp.take(eng.rot_keys[1], jnp.asarray(order[:B]),
+                                axis=2)[..., :cols]
+            a_rows = pad_main_rows(ct1.data, lvl, ns_l)[:, : T.sm, :, :cols]
+            b_rows = pad_main_rows(ct2.data, lvl, ns_l)[:, : T.sm, :, :cols]
+            g = params.galois_elt(1)
+            local_src, pairs, _ = dc.automorph_shard_route(g, ns_c)
+            lsrc0 = local_src[0]
+
+            @jax.jit
+            def hyb_hmult_chain(a, b, evk, T_, iters):
+                def body(_, carry):
+                    return _hmult_limb_body(carry, b, evk, T_, axis="limb")
+                return jax.lax.fori_loop(0, iters, body, a)
+
+            hyb_hmult = timed(hyb_hmult_chain, a_rows, b_rows, evk_rows,
+                              T_l)
+
+            @jax.jit
+            def hyb_hrot_chain(a, lsrc, rotk, T_, iters):
+                def body(_, carry):
+                    return _hrotate_limb_body(
+                        carry, lsrc, rotk, T_, axis="limb",
+                        col_route=("coeff", pairs))
+                return jax.lax.fori_loop(0, iters, body, a)
+
+            hyb_hrot = timed(hyb_hrot_chain, a_rows, lsrc0, rot_rows, T_l)
+            compute_ms.setdefault(
+                f"hmult|hybrid{ns_l}x{ns_c}|{ns_l * ns_c}", {})[lvl] = \
+                round(1e3 * hyb_hmult, 4)
+            compute_ms.setdefault(
+                f"hrotate|hybrid{ns_l}x{ns_c}|{ns_l * ns_c}", {})[lvl] = \
+                round(1e3 * hyb_hrot, 4)
+            print(f"# hybrid {ns_l}x{ns_c} level={lvl}: hmult/hrot = "
+                  f"{1e3*hyb_hmult:.3f}/{1e3*hyb_hrot:.3f} ms", flush=True)
+
     # ---- install the measured constants + project ------------------------
+    t1_anchors = {
+        "hmult": {lvl: round(1e3 * t1[lvl][0], 4) for lvl in LEVELS},
+        "hrotate": {lvl: round(1e3 * t1[lvl][1], 4) for lvl in LEVELS},
+    }
     measured = {"compute_ms": compute_ms, "overlap_ms": overlap_ms,
+                "t1_ms": t1_anchors,
                 "meta": {"gchunks": G, "params": out["params"],
                          "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")}}
     dispatch_model.MEASURED = measured
@@ -566,7 +634,26 @@ def main() -> int:
                       f"(no-ov {r['efficiency_no_overlap']:.2%})",
                       flush=True)
 
+    # hybrid rows from the shared model (measured hybrid anchors)
+    hyb_rows = []
+    for ns_l, ns_c in HYBRIDS:
+        for op, t1s in (("hmult", t1[lvl0][0]), ("hrotate", t1[lvl0][1])):
+            th = dispatch_model.predict_hybrid_ms(
+                params, op, ns_l, ns_c, lvl0)
+            if th is None:
+                continue
+            hyb_rows.append({
+                "op": op, "axis": f"hybrid_{ns_l}limb_x_{ns_c}coeff",
+                "ns": ns_l * ns_c, "ns_l": ns_l, "ns_c": ns_c,
+                "compute_ms": compute_ms[
+                    f"{op}|hybrid{ns_l}x{ns_c}|{ns_l * ns_c}"][lvl0],
+                "t_ms": round(th, 4),
+                "efficiency": round(1e3 * t1s / (ns_l * ns_c * th), 4),
+            })
+            print(f"hybrid {ns_l}x{ns_c} {op:8} T={th:7.3f} ms "
+                  f"eff={1e3 * t1s / (ns_l * ns_c * th):.2%}", flush=True)
     out["rows"] = rows
+    out["hybrid_rows_measured"] = hyb_rows
     out["overlap_sections"] = overlap_ms
     out["measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
     if smoke:

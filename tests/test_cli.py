@@ -105,3 +105,24 @@ def test_cli_fused_hpip_routing(op, capsys):
     assert "keyswitch=fused-hpip" in outp
     assert "verify max-abs-err" in outp
     assert api_mod.USE_FUSED_HPIP is False  # restored by cli.main
+
+
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_cli_forced_hybrid_dispatch(op, capsys):
+    """--dispatch hybrid runs the 2-D limb x coeff mesh and
+    decrypt-verifies (level 5 also exercises row padding on the 2-D
+    mesh)."""
+    rc = cli.main(
+        ["run", CFG, op, "8", "5", "4", "4", "--verify", "--iters", "1",
+         "--platform", "cpu", "--dispatch", "hybrid"]
+    )
+    outp = capsys.readouterr().out
+    assert rc == 0, outp
+    assert "axis=hybrid mesh=(2 limb, 2 coeff)" in outp
+    assert "verify max-abs-err" in outp
+
+
+def test_cli_hybrid_rejected_on_odd_cluster():
+    with pytest.raises(SystemExit, match="hybrid"):
+        cli.main(["run", CFG, "hmult", "8", "4", "4", "2", "--iters", "1",
+                  "--platform", "cpu", "--dispatch", "hybrid"])

@@ -561,3 +561,109 @@ def test_packed_coeff_shard_hrotate_matches_unpacked():
     ref = np.asarray(_hrotate_graph(
         a, perm, eng.rot_keys[step], eng.dc.keyswitch_tables(level)))
     assert np.array_equal(out_p, ref)
+
+
+@pytest.mark.parametrize("shape", [(2, 2), (4, 2)])
+def test_hybrid_hmult_matches_single_chip(pallas_engine, shape):
+    """2-D limb x coeff hybrid mesh (VERDICT r4 missing #3): rows over
+    'limb', columns over 'coeff', transforms phase-split within the coeff
+    subgroup — bit-exact vs the single-chip graph."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_hybrid_hmult, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    ns_l, ns_c = shape
+    mesh = make_mesh(shape=shape, n_devices=ns_l * ns_c,
+                     axis_names=("limb", "coeff"))
+    a = _batch(eng, level, 2, seed=51)
+    order = evk_limb_row_order(eng.params, level, ns_l)
+    evk_l = jnp.take(eng.relin_key, jnp.asarray(order), axis=2)
+    f = make_hybrid_hmult(eng.dc, level, mesh)
+    out = np.asarray(f(pad_main_rows(a[0], level, ns_l),
+                       pad_main_rows(a[1], level, ns_l), evk_l))
+    ref = _hmult_ref(eng, a[0], a[1], level)
+    assert np.array_equal(out[:, : level - 1], ref)
+
+
+def test_hybrid_hrotate_matches_single_chip(pallas_engine):
+    """Hybrid hrotate: limb-row-local + coeff-subgroup ppermute
+    automorphism, bit-exact vs single chip."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_hybrid_hrotate, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    step = 3
+    ns_l, ns_c = 4, 2
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(ns_l, ns_c), n_devices=8,
+                     axis_names=("limb", "coeff"))
+    a = _batch(eng, level, 1, seed=53)[0]
+    g = eng.params.galois_elt(step)
+    route = eng.dc.automorph_shard_route(g, ns_c)
+    order = evk_limb_row_order(eng.params, level, ns_l)
+    rotk_l = jnp.take(eng.rot_keys[step], jnp.asarray(order), axis=2)
+    f = make_hybrid_hrotate(eng.dc, level, mesh)
+    out = np.asarray(f(pad_main_rows(a, level, ns_l), route, rotk_l))
+    perm = eng.dc.automorph_perm(g)
+    ref = np.asarray(_hrotate_graph(
+        a, perm, eng.rot_keys[step], eng.dc.keyswitch_tables(level)))
+    assert np.array_equal(out[:, :level], ref)
+
+
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_hybrid_ici_bytes_reconcile_with_hlo(pallas_engine, op):
+    """ici_bytes_per_op_hybrid == bytes counted over the collectives of
+    the LOWERED hybrid program (same discipline as both 1-D paths).
+    Mixed-axis counting: gathers/a2a/ppermute each receive fractions of
+    their LOCAL operands over their own mesh axis."""
+    import re
+
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, ici_bytes_per_op_hybrid, make_hybrid_hmult,
+        make_hybrid_hrotate, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    ns_l, ns_c = 4, 2
+    mesh = make_mesh(shape=(ns_l, ns_c), n_devices=8,
+                     axis_names=("limb", "coeff"))
+    a = _batch(eng, level, 1, seed=57)[0]
+    a_p = pad_main_rows(a, level, ns_l)
+    order = evk_limb_row_order(eng.params, level, ns_l)
+    evk_l = jnp.take(eng.relin_key, jnp.asarray(order), axis=2)
+    route_ident = False
+    if op == "hmult":
+        lowered = make_hybrid_hmult(eng.dc, level, mesh).lower(
+            a_p, a_p, evk_l)
+    else:
+        eng.gen_rotation_key(3)
+        route = eng.dc.automorph_shard_route(eng.params.galois_elt(3), ns_c)
+        route_ident = route[2]
+        lowered = make_hybrid_hrotate(eng.dc, level, mesh).lower(
+            a_p, route, jnp.take(eng.rot_keys[3], jnp.asarray(order),
+                                 axis=2))
+    txt = lowered.as_text()
+    pat = re.compile(
+        r'stablehlo\.(all_to_all|all_gather|collective_permute)"?.*?:'
+        r"\s*\(tensor<([^>]+)>\)")
+    total = 0
+    for m in pat.finditer(txt):
+        kind, tshape = m.group(1), m.group(2)
+        elems = 1
+        for d in tshape.split("x")[:-1]:
+            elems = elems * int(d)
+        nbytes = elems * 4
+        if kind == "all_to_all":
+            total += nbytes * (ns_c - 1) // ns_c
+        elif kind == "all_gather":
+            total += nbytes * (ns_l - 1)
+        else:
+            total += nbytes
+    analytic = ici_bytes_per_op_hybrid(eng.params, level, ns_l, ns_c, op,
+                                       route_identity=route_ident)
+    assert total == analytic, (op, total, analytic, route_ident)
