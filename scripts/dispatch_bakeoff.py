@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from homulator_tpu.params import get_params  # noqa: E402
 from homulator_tpu.parallel.dispatch_model import (  # noqa: E402
-    coeff_collective_count, predict_ms,
+    coeff_collective_count, predict_hybrid_ms, predict_ms,
 )
 from homulator_tpu.parallel.limb_sharded import (  # noqa: E402
     ici_bytes_per_op_limb, limb_collective_count,
@@ -49,8 +49,13 @@ def main() -> int:
                 # rule the CLI auto dispatch applies), else ICI volume.
                 t_l = predict_ms(params, op, "limb", ns, level)
                 t_c = predict_ms(params, op, "coeff", ns, level)
+                t_h = (predict_hybrid_ms(params, op, ns // 2, 2, level)
+                       if ns >= 4 else None)
                 if t_l is not None and t_c is not None:
-                    chosen = "limb" if t_l <= t_c else "coeff"
+                    cands = [("limb", t_l), ("coeff", t_c)]
+                    if t_h is not None:
+                        cands.append((f"hybrid{ns // 2}x2", t_h))
+                    chosen = min(cands, key=lambda kv: kv[1])[0]
                 else:
                     chosen = "limb" if limb <= coeff else "coeff"
                 rows.append({
@@ -64,6 +69,7 @@ def main() -> int:
                         params, level, op),
                     "t_model_limb_ms": t_l and round(t_l, 4),
                     "t_model_coeff_ms": t_c and round(t_c, 4),
+                    "t_model_hybrid_ms": t_h and round(t_h, 4),
                     "chosen": chosen,
                     "chosen_by": ("model" if t_l is not None
                                   and t_c is not None else "volume"),
