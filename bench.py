@@ -99,6 +99,18 @@ def main() -> int:
     logreg_ms = _last_e2e(
         os.path.join(ROOT, "outLogs", "workloads", "logreg.jsonl"))
 
+    # Scaling headline: limb-axis hmult efficiency at 2 chips from the
+    # committed projection (measured per-shard compute + exact ICI +
+    # structural overlap credit, SCALING.json center constants).
+    eff_ns2 = None
+    try:
+        with open(os.path.join(ROOT, "SCALING.json")) as f:
+            for r in json.load(f)["rows"]:
+                if (r["op"], r["axis"], r["ns"]) == ("hmult", "limb", 2):
+                    eff_ns2 = r["efficiency"]
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "hmult_latency_N2^16_L45_l35_a15",
         "value": round(hmult_ms, 3),
@@ -110,6 +122,7 @@ def main() -> int:
         "hrotate_latency_ms": round(hrotate_ms, 3),
         "matvec64_bsgs_e2e_ms": matvec_ms,
         "logreg_sigmoid3_e2e_ms": logreg_ms,
+        "scaling_eff_limb_ns2": eff_ns2,
         "ntt_limb_per_s_N2^16": round(ntt_limb_per_s, 1),
         "cpu_ref_hmult_ms": cpu_ms,
         "setup_ctx_s": round(setup_ctx_s, 1),

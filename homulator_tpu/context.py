@@ -407,17 +407,15 @@ class DeviceContext:
                   shard_axis: Optional[str] = None,
                   pack_ns: int = 0) -> NttBasis:
         t_ = self.params.ntt
-        # Packed routing needs square tiles (shared lane group size k for
-        # both phases), sliceable butterfly stages (n >= 64), and a
-        # shard narrow enough that packing wins: k = 128/c >= 4, i.e.
-        # c <= 32. MEASURED (SCALING v2, level 35): at c = 32 (ns=8)
-        # packing cuts coeff per-shard compute 0.864 -> 0.697 ms, but at
-        # c = 64 (ns=4, k=2) the pack/unpack relayouts outweigh the
-        # halved launch count (0.901 -> 1.133 ms) — so k = 2 stays on the
-        # per-limb kernels.
-        if pack_ns and not (
-            t_.n1 == t_.n2 and t_.n1 >= 64 and 0 < t_.n2 // pack_ns <= 32
-        ):
+        # Packed routing gate (single source: ops/ntt_pallas.pack_k_for):
+        # square tiles, sliceable stages, and k >= 4 — MEASURED
+        # (SCALING v2, level 35): at c = 32 (ns=8) packing cuts coeff
+        # per-shard compute 0.864 -> 0.697 ms, but at c = 64 (ns=4, k=2)
+        # the pack/unpack relayouts outweigh the halved launch count
+        # (0.901 -> 1.133 ms) — so k = 2 stays on the per-limb kernels.
+        from .ops.ntt_pallas import pack_k_for
+
+        if pack_ns and not pack_k_for(t_.n1, t_.n2, pack_ns):
             pack_ns = 0
         key = (rows, shard_axis, pack_ns)
         if key in self._nt_cache:

@@ -645,6 +645,22 @@ def pack_phase_tables(q, stage_pl, stage_sh, mid_pl, mid_sh, k, c,
     )
 
 
+def pack_k_for(n1: int, n2: int, ns: int) -> int:
+    """Lane-group size k for the packed narrow-shard routing, or 0 when
+    packing is off for this shape. Single source of truth for the gate
+    (context.ntt_basis builds tables with it; sharded.ici_bytes_per_op
+    bills padded lane-group rows with it): square tiles (shared k for
+    both phases), sliceable stages (n >= 64), and k >= 4 — at k = 2 the
+    pack/unpack relayouts outweigh the halved launches (measured,
+    SCALING v2)."""
+    if not (n1 == n2 and n1 >= 64 and ns > 0):
+        return 0
+    c = n2 // ns
+    if c <= 0 or c > 32:
+        return 0
+    return 128 // c
+
+
 def pack_limb_lanes(x, k):
     """[M, n, c] -> [M//k, n, k*c]: lane block j = limb j's columns."""
     M, n, c = x.shape

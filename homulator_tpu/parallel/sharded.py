@@ -250,6 +250,27 @@ def make_shardmap_hrotate(
     return run
 
 
+def transform_calls(params, level: int, op: str):
+    """Row counts of every ntt/intt CALL of one coeff-path op, in program
+    order: ModUp iNTT, per-digit NTTs (other rows only), then the tails
+    (hmult: per key iNTT(specials) + iNTT(zl) + NTT(out); hrotate:
+    per key iNTT(specials) + NTT(main))."""
+    alpha = params.alpha
+    beta = params.beta(level)
+    calls = [level]
+    calls += [
+        (alpha + level) - (hi - lo)
+        for lo, hi in (params.digit_range(level, d) for d in range(beta))
+    ]
+    if op == "hmult":
+        calls += [alpha, 1, level - 1] * 2
+    elif op == "hrotate":
+        calls += [alpha, level] * 2
+    else:
+        raise ValueError(op)
+    return calls
+
+
 def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult", *,
                      route_identity: bool = False) -> int:
     """EXACT per-device ICI receive volume (bytes) of one shard_map op at
@@ -270,26 +291,25 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult", *,
     dc.automorph_shard_route) to bill those correctly (ADVICE r4).
     (A round-1..2 version of this function reported the all-device total,
     ns x the per-device receive — caught by the HLO reconciliation.)
+
+    When the shape routes through the LANE-PACKED kernels (k =
+    ntt_pallas.pack_k_for > 0), each transform call's rows round up to a
+    k multiple — the packed all_to_all carries the padded lane-group
+    rows (<= k-1 per call; ~5% at set B ns=8).
     """
-    alpha = params.alpha
+    from ..ops.ntt_pallas import pack_k_for
+
     n = params.n
-    beta = params.beta(level)
-    digits = [params.digit_range(level, d) for d in range(beta)]
-    # modup: intt(level) + per-digit ntt over its OTHER rows
-    transforms = level + sum(
-        (alpha + level) - (hi - lo) for lo, hi in digits
-    )
+    t = params.ntt
+    k = pack_k_for(t.n1, t.n2, ns)
+    calls = transform_calls(params, level, op)
+    transforms = (sum(calls) if not k
+                  else sum(-(-c // k) * k for c in calls))
     autos = 0
-    if op == "hmult":
-        # 2 fused moddown+rescale tails: intt(alpha) + intt(1) + ntt(level-1)
-        transforms += 2 * (alpha + 1 + level - 1)
-    elif op == "hrotate":
-        # 2 moddowns: intt(alpha) + ntt(level); 2 automorph ppermutes
-        # (zero when the requested element's block map is the identity)
-        transforms += 2 * (alpha + level)
-        autos = 0 if route_identity else 2
-    else:
-        raise ValueError(op)
+    if op == "hrotate" and not route_identity:
+        # 2 automorph ppermutes (zero when the requested element's block
+        # map is the identity)
+        autos = 2
     per_tf = (ns - 1) * n * 4 // (ns * ns)
     per_auto = level * n * 4 // ns
     return transforms * per_tf + autos * per_auto

@@ -667,3 +667,39 @@ def test_hybrid_ici_bytes_reconcile_with_hlo(pallas_engine, op):
     analytic = ici_bytes_per_op_hybrid(eng.params, level, ns_l, ns_c, op,
                                        route_identity=route_ident)
     assert total == analytic, (op, total, analytic, route_ident)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("op", ["hmult", "hrotate"])
+def test_ici_bytes_reconcile_packed(op):
+    """ici_bytes_per_op with the lane-packed routing active (N=2^14,
+    ns=4 -> c=32, k=4): the formula's per-call k-multiple round-up must
+    match the padded lane-group rows the lowered packed all_to_alls
+    actually carry."""
+    from homulator_tpu.ops.ntt_pallas import pack_k_for
+    from homulator_tpu.parallel.sharded import (
+        ici_bytes_from_lowered, ici_bytes_per_op,
+    )
+
+    params = get_params(n=1 << 14, max_level=8, alpha=4)
+    assert pack_k_for(params.ntt.n1, params.ntt.n2, 4) == 4
+    eng = CkksEngine(params, seed=13, ntt_mode="interpret")
+    eng.keygen()
+    level, ns = 8, 4
+    mesh = make_mesh(shape=(1, ns), n_devices=ns,
+                     axis_names=("data", "coeff"))
+    a = _batch(eng, level, 1, seed=61)[0]
+    if op == "hmult":
+        lowered = make_shardmap_hmult(eng.dc, level, mesh).lower(
+            a, a, eng.relin_key)
+        route_ident = False
+    else:
+        eng.gen_rotation_key(3)
+        route = eng.dc.automorph_shard_route(eng.params.galois_elt(3), ns)
+        route_ident = route[2]
+        lowered = make_shardmap_hrotate(eng.dc, level, mesh).lower(
+            a, route, eng.rot_keys[3])
+    measured = ici_bytes_from_lowered(lowered.as_text(), ns)
+    analytic = ici_bytes_per_op(eng.params, level, ns, op,
+                                route_identity=route_ident)
+    assert measured == analytic, (op, measured, analytic)
