@@ -40,7 +40,7 @@ from homulator_tpu.parallel.dispatch_model import (  # noqa: E402
     BW0, TCOLL0, coeff_collective_count,
 )
 from homulator_tpu.parallel.limb_sharded import (  # noqa: E402
-    _ceil_div, _pick_gchunks, ici_bytes_per_op_limb, limb_collective_count,
+    _pick_gchunks, ici_bytes_per_op_limb, limb_collective_count,
 )
 from homulator_tpu.parallel.sharded import ici_bytes_per_op  # noqa: E402
 
@@ -121,11 +121,53 @@ def main() -> int:
             print(f"{op:8} {r['axis']:22} {r['compute_ms']:7.3f} "
                   f"{r['ici_mb']:7.2f} {r['t_ms']:7.3f} "
                   f"{r['efficiency']:7.2%}")
+    # ---- 2-host rows: which hybrid axis should cross the DCN ------------
+    # A 2-D mesh gives a CHOICE the 1-D axes lack: put the low-volume
+    # 2-way coeff axis across the host boundary and the high-volume limb
+    # gathers stay entirely on intra-host ICI — collectives crossing DCN
+    # pay (BW_dcn, t_coll_dcn), the rest ICI constants. Uses the same
+    # distinct-fabric model as scaling_projection's 2-host rows.
+    BW_DCN0, TCOLL_DCN = 12.5e9, 25e-6
+    G = _pick_gchunks(params.ntt.n1, params.ntt.n2)
+    for r in rows:
+        op, ns_l, ns_c = r["op"], r["ns_l"], r["ns_c"]
+        if ns_c != 2:
+            continue
+        comp = r["compute_ms"] / 1e3
+        ici_l = r["ici_limb_mb"] * 1e6
+        ici_c = r["ici_coeff_mb"] * 1e6
+        colls_l = limb_collective_count(params, LEVEL, ns_l, op)
+        colls_c = coeff_collective_count(params, LEVEL, op)
+        h = r["overlap_credit_ms"] / 1e3
+        t1 = meas["t1_ms"][op] / 1e3
+        # coeff axis across DCN: limb gathers intra-host on ICI
+        t_c_dcn = (comp + max(ici_l / BW0, ici_c / BW_DCN0)
+                   + colls_l * TCOLL0 + colls_c * TCOLL_DCN - h)
+        # limb axis across DCN (the bad split, for contrast): the limb
+        # gathers' ns_l/2-of-(ns_l-1) blocks cross hosts
+        inter_l = ici_l * (ns_l // 2) / max(ns_l - 1, 1)
+        t_l_dcn = (comp + max((ici_l - inter_l) / BW0 + ici_c / BW0,
+                              inter_l / BW_DCN0)
+                   + colls_l * TCOLL_DCN + colls_c * TCOLL0 - h)
+        r["t_ms_2host_coeff_dcn"] = round(1e3 * t_c_dcn, 4)
+        r["eff_2host_coeff_dcn"] = round(
+            t1 / (ns_l * ns_c * t_c_dcn), 4)
+        r["t_ms_2host_limb_dcn"] = round(1e3 * t_l_dcn, 4)
+        r["eff_2host_limb_dcn"] = round(
+            t1 / (ns_l * ns_c * t_l_dcn), 4)
+        print(f"2host {op:8} {r['axis']:22} coeff-over-DCN "
+              f"T={1e3*t_c_dcn:7.3f} ms eff={r['eff_2host_coeff_dcn']:.2%}"
+              f" | limb-over-DCN T={1e3*t_l_dcn:7.3f} "
+              f"eff={r['eff_2host_limb_dcn']:.2%}")
+
     scaling["hybrid_rows"] = rows
     scaling["hybrid_note"] = (
         "analytic composition of measured 1-D tables (compute = "
         "limb(ns_l) x measured column ratio; ICI exact per axis); the "
-        "reference's 2-D analog is Driver.h:209-285")
+        "reference's 2-D analog is Driver.h:209-285. 2-host columns: "
+        "DCN constants (12.5 GB/s, 25 us) on whichever mesh axis "
+        "crosses hosts — putting the 2-way coeff axis on DCN keeps the "
+        "limb gathers intra-host")
     with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
         json.dump(scaling, f, indent=1)
     print("# appended hybrid_rows to SCALING.json")
