@@ -746,6 +746,7 @@ def make_limb_hrotate(dc: DeviceContext, level: int, mesh: Mesh, *,
 
 def make_hybrid_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
                       row_axis: str = "limb", col_axis: str = "coeff",
+                      data_axis: Optional[str] = None,
                       gchunks: Optional[int] = None):
     """jitted f(a_pad, b_pad, evk_limb) -> out_pad over a 2-D
     (row_axis x col_axis) mesh: RNS rows sharded over `row_axis` (the
@@ -767,10 +768,23 @@ def make_hybrid_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
     T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis,
                           col_ns=ns_c)
     T_sp = _limb_specs(T, row_axis, col_axis)
-    ct_sp = P(None, row_axis, None, col_axis)
     evk_sp = P(None, None, row_axis, None, col_axis)
+    if data_axis is None:
+        ct_sp = P(None, row_axis, None, col_axis)
+        body = functools.partial(_hmult_limb_body, axis=row_axis)
+    else:
+        # 3-D data x limb x coeff mesh: ciphertext batch data-parallel,
+        # vmapped inside the shard_map (zero DCN traffic per op when the
+        # data axis is the host boundary — the serving layout)
+        ct_sp = P(data_axis, None, row_axis, None, col_axis)
+
+        def body(a, b, evk, T_):
+            return jax.vmap(
+                lambda x, y: _hmult_limb_body(x, y, evk, T_, axis=row_axis)
+            )(a, b)
+
     f = jax.shard_map(
-        functools.partial(_hmult_limb_body, axis=row_axis), mesh=mesh,
+        body, mesh=mesh,
         in_specs=(ct_sp, ct_sp, evk_sp, T_sp),
         out_specs=ct_sp,
         check_vma=False,

@@ -703,3 +703,28 @@ def test_ici_bytes_reconcile_packed(op):
     analytic = ici_bytes_per_op(eng.params, level, ns, op,
                                 route_identity=route_ident)
     assert measured == analytic, (op, measured, analytic)
+
+
+def test_hybrid_hmult_data_parallel_batched(pallas_engine):
+    """3-D data x limb x coeff mesh: batch vmapped inside the hybrid
+    shard_map — the zero-DCN-per-op serving layout (2 hosts = the data
+    axis)."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_hybrid_hmult, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    mesh = make_mesh(shape=(2, 2, 2), n_devices=8,
+                     axis_names=("data", "limb", "coeff"))
+    B = 2
+    ab = _batch(eng, level, B, seed=71)
+    bb = _batch(eng, level, B, seed=72)
+    order = jnp.asarray(evk_limb_row_order(eng.params, level, 2))
+    evk_l = jnp.take(eng.relin_key, order, axis=2)
+    f = make_hybrid_hmult(eng.dc, level, mesh, data_axis="data")
+    out = np.asarray(f(pad_main_rows(ab, level, 2),
+                       pad_main_rows(bb, level, 2), evk_l))
+    for i in range(B):
+        ref = _hmult_ref(eng, ab[i], bb[i], level)
+        assert np.array_equal(out[i][:, : level - 1], ref), i
