@@ -111,19 +111,27 @@ def run_op(args) -> int:
         from .parallel.sharded import ici_bytes_per_op
 
         # hrotate's coeff automorphism may be a zero-ICI identity route
-        # for this Galois element — bill the actual collective schedule
-        route_ident = False
-        if rc.op == "hrotate" and coeff_ok:
+        # for this Galois element — bill the actual collective schedule.
+        # route_ident2 is the same flag at the hybrid's 2-way coeff
+        # subgroup (coarser blocks: identity at ns implies identity at 2,
+        # not conversely).
+        route_ident = route_ident2 = False
+        if rc.op == "hrotate":
             from .ops.automorph import (
                 BlockAlignmentError, build_shard_route,
             )
 
-            try:
-                _, _, route_ident = build_shard_route(
-                    params.automorph_eval_perm(params.galois_elt(1)),
-                    t_n2, t_n1, n_mesh)
-            except BlockAlignmentError:
-                route_ident = False
+            perm_g = params.automorph_eval_perm(params.galois_elt(1))
+            for ns_r in {n_mesh if coeff_ok else 0, 2} - {0}:
+                try:
+                    _, _, ident = build_shard_route(
+                        perm_g, t_n2, t_n1, ns_r)
+                except BlockAlignmentError:
+                    ident = False
+                if ns_r == 2:
+                    route_ident2 = ident
+                if ns_r == n_mesh:
+                    route_ident = ident
         ici_limb = ici_bytes_per_op_limb(params, rc.level, n_mesh, rc.op)
         ici_coeff = (ici_bytes_per_op(params, rc.level, n_mesh, rc.op,
                                       route_identity=route_ident)
@@ -155,7 +163,7 @@ def run_op(args) -> int:
                 params, rc.op, n_mesh, rc.level, coeff_ok=coeff_ok,
                 route_identity=route_ident)
             t_h = (predict_hybrid_ms(params, rc.op, n_mesh // 2, 2,
-                                     rc.level, route_identity=route_ident)
+                                     rc.level, route_identity=route_ident2)
                    if hybrid_ok and how == "model" else None)
             if how == "model":
                 best = min(x for x in (t_l, t_c, t_h) if x is not None)
@@ -242,7 +250,7 @@ def run_op(args) -> int:
                 shardmap_fn = make_hybrid_hrotate(eng.dc, rc.level, mesh)
             ici = ici_bytes_per_op_hybrid(
                 params, rc.level, ns_l, ns_c, rc.op,
-                route_identity=route_ident)
+                route_identity=route_ident2)
             print(f"# dispatch=shard_map+pallas axis=hybrid mesh=({ns_l} "
                   f"limb, {ns_c} coeff) ici_bytes_per_device={ici} — "
                   f"{both}")
