@@ -87,10 +87,14 @@ def main() -> int:
     # Workload-level secondary metrics: last committed end-to-end runs
     # (scripts/bench_workload.py, scripts/bench_logreg.py), if measured.
     def _last_e2e(path):
+        """Most recent DEFAULT-config run (A/B variants like the matvec's
+        --scan-width=2 also log here; skip them)."""
         try:
             with open(path) as f:
-                lines = f.read().strip().splitlines()
-            return json.loads(lines[-1]).get("e2e_ms") if lines else None
+                recs = [json.loads(ln) for ln in f.read().splitlines()
+                        if ln.strip()]
+            recs = [r for r in recs if r.get("scan_width", 1) == 1]
+            return recs[-1].get("e2e_ms") if recs else None
         except Exception:
             return None
 
