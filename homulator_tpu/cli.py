@@ -98,7 +98,7 @@ def run_op(args) -> int:
     # per-shard tiles must stay kernel-shaped; shared predicate with
     # __graft_entry__.dryrun_multichip (parallel/mesh.coeff_shard_ok)
     coeff_ok = ks_op and coeff_shard_ok(t_n1, t_n2, n_mesh)
-    if not cluster_on and args.dispatch in ("limb", "coeff"):
+    if not cluster_on and args.dispatch in ("limb", "coeff", "hybrid"):
         raise SystemExit(
             f"--dispatch {args.dispatch} needs the [cluster] positional "
             "> 1 (the sharded paths are multi-device dispatches)")

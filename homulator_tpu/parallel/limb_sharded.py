@@ -180,23 +180,20 @@ def _pick_gchunks(n1: int, n2: int) -> int:
 
 def build_limb_tables(dc: DeviceContext, level: int, ns: int,
                       gchunks: Optional[int] = None,
-                      col_axis: Optional[str] = None,
-                      col_ns: int = 0) -> LimbTables:
+                      col_axis: Optional[str] = None) -> LimbTables:
     """Host-side table build for the limb-sharded key switch (cached on
     dc). col_axis: when set (hybrid 2-D limb x coeff mesh, the analog of
     the reference composing its limb dispatch with 2-D BCONV/IP tiling,
     Driver.h:209-285), every NTT basis is built with that shard_axis so
     the transforms inside the limb body run phase-split around an
-    all_to_all within the coeff subgroup; col_ns sizes the packed-kernel
-    gate for the column width."""
+    all_to_all within the coeff subgroup. The lane-packed kernels are
+    never built here: they group k consecutive basis ROWS, which would
+    cross limb-shard boundaries (hybrid column widths are >= 64 lanes at
+    ns_c <= 4 anyway, where packing loses — SCALING v2)."""
     t = dc.params.ntt
     if gchunks is None:
         gchunks = _pick_gchunks(t.n1, t.n2)
-    # lane-packed kernels group k consecutive basis ROWS, which would
-    # cross limb-shard boundaries here — packed routing stays off inside
-    # the hybrid (its column widths are >= 64 lanes anyway at ns_c <= 4)
-    col_ns = 0
-    ck = ("limb", level, ns, gchunks, col_axis, col_ns)
+    ck = ("limb", level, ns, gchunks, col_axis)
     if ck in dc._ks_cache:
         return dc._ks_cache[ck]
     assert dc.ntt_mode != "jnp", "limb path runs the Pallas kernel graphs"
@@ -324,10 +321,10 @@ def build_limb_tables(dc: DeviceContext, level: int, ns: int,
         md1_sh=_pair(p.ks.moddown_step1[sr - L], qn[sr])[1],
         q_ext=jnp.asarray(qn[er].astype(np.uint32)),
         qinv_ext=jnp.asarray(p.qinv_neg[er].astype(np.uint32)),
-        main_nt=dc.ntt_basis(tuple(main_rows), col_axis, col_ns),
-        sp_nt=dc.ntt_basis(tuple(sp_rows), col_axis, col_ns),
-        ext_nt=dc.ntt_basis(tuple(ext_rows), col_axis, col_ns),
-        tailzl_nt=dc.ntt_basis(tuple(tailzl_rows), col_axis, col_ns),
+        main_nt=dc.ntt_basis(tuple(main_rows), col_axis),
+        sp_nt=dc.ntt_basis(tuple(sp_rows), col_axis),
+        ext_nt=dc.ntt_basis(tuple(ext_rows), col_axis),
+        tailzl_nt=dc.ntt_basis(tuple(tailzl_rows), col_axis),
         digits=tuple(digits),
         md_bf16=jnp.concatenate(md_mats, axis=0),
         md_hsh=jnp.concatenate(md_hshs, axis=0),
@@ -628,13 +625,23 @@ def _hrotate_limb_body(a, perm, rotk, T: LimbTables, *, axis: str,
     over col_axis, so `perm` is the device-local shard-route gather table
     and the automorphism is one whole-shard ppermute within the coeff
     subgroup (ops/automorph.automorph_eval_shardperm) instead of the flat
-    gather."""
+    gather. perm_pairs=None is the gather-route sentinel (non-block-
+    aligned Galois element, ops/automorph.BlockAlignmentError): `perm`
+    is then the FULL flat permutation and the automorphism falls back to
+    all_gather over the coeff subgroup + local permute + re-slice (same
+    fallback as sharded._hrotate_body)."""
     if col_route is not None:
-        from ..ops.automorph import automorph_eval_shardperm
+        from ..ops.automorph import (
+            automorph_eval_sharded, automorph_eval_shardperm,
+        )
 
         col_axis, pairs = col_route
-        r0 = automorph_eval_shardperm(a[0], perm, pairs, col_axis)
-        r1 = automorph_eval_shardperm(a[1], perm, pairs, col_axis)
+        if pairs is None:
+            r0 = automorph_eval_sharded(a[0], perm, col_axis)
+            r1 = automorph_eval_sharded(a[1], perm, col_axis)
+        else:
+            r0 = automorph_eval_shardperm(a[0], perm, pairs, col_axis)
+            r1 = automorph_eval_shardperm(a[1], perm, pairs, col_axis)
     else:
         r0 = automorph_eval(a[0], perm)
         r1 = automorph_eval(a[1], perm)
@@ -765,8 +772,7 @@ def make_hybrid_hmult(dc: DeviceContext, level: int, mesh: Mesh, *,
     ns_c = mesh.shape[col_axis]
     t = dc.params.ntt
     assert t.n1 % ns_c == 0 and t.n2 % ns_c == 0, (t.n1, t.n2, ns_c)
-    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis,
-                          col_ns=ns_c)
+    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis)
     T_sp = _limb_specs(T, row_axis, col_axis)
     evk_sp = P(None, None, row_axis, None, col_axis)
     if data_axis is None:
@@ -804,19 +810,21 @@ def make_hybrid_hrotate(dc: DeviceContext, level: int, mesh: Mesh, *,
     ns_c = mesh.shape[col_axis]
     t = dc.params.ntt
     assert t.n1 % ns_c == 0 and t.n2 % ns_c == 0, (t.n1, t.n2, ns_c)
-    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis,
-                          col_ns=ns_c)
+    T = build_limb_tables(dc, level, ns_l, gchunks, col_axis=col_axis)
     T_sp = _limb_specs(T, row_axis, col_axis)
     ct_sp = P(None, row_axis, None, col_axis)
     evk_sp = P(None, None, row_axis, None, col_axis)
 
     @functools.lru_cache(maxsize=None)
     def compiled(perm_pairs):
+        # pairs=None: gather-route fallback — lsrc is the full flat
+        # permutation (replicated), not a per-device route table
+        lsrc_sp = P() if perm_pairs is None else P(col_axis, None)
         f = jax.shard_map(
             functools.partial(_hrotate_limb_body, axis=row_axis,
                               col_route=(col_axis, perm_pairs)),
             mesh=mesh,
-            in_specs=(ct_sp, P(col_axis, None), evk_sp, T_sp),
+            in_specs=(ct_sp, lsrc_sp, evk_sp, T_sp),
             out_specs=ct_sp,
             check_vma=False,
         )

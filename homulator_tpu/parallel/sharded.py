@@ -272,7 +272,8 @@ def transform_calls(params, level: int, op: str):
 
 
 def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult", *,
-                     route_identity: bool = False) -> int:
+                     route_identity: bool = False,
+                     packed: "bool | None" = None) -> int:
     """EXACT per-device ICI receive volume (bytes) of one shard_map op at
     `level` over an ns-way 'coeff' axis — counted from the collective
     schedule of the graph, the analog of the reference's NoC_Mem_Chip
@@ -295,13 +296,17 @@ def ici_bytes_per_op(params, level: int, ns: int, op: str = "hmult", *,
     When the shape routes through the LANE-PACKED kernels (k =
     ntt_pallas.pack_k_for > 0), each transform call's rows round up to a
     k multiple — the packed all_to_all carries the padded lane-group
-    rows (<= k-1 per call; ~5% at set B ns=8).
+    rows (<= k-1 per call; ~5% at set B ns=8). `packed` overrides the
+    auto-detection for builds that opt out (make_shardmap_* packed=False,
+    the A/B baseline), whose a2as carry unpadded rows.
     """
     from ..ops.ntt_pallas import pack_k_for
 
     n = params.n
     t = params.ntt
     k = pack_k_for(t.n1, t.n2, ns)
+    if packed is False:
+        k = 0
     calls = transform_calls(params, level, op)
     transforms = (sum(calls) if not k
                   else sum(-(-c // k) * k for c in calls))

@@ -128,8 +128,6 @@ def main() -> int:
     # INDEPENDENT key-switch chains per step to overlap. Modular addition
     # is associative, so the reassociated accumulation is bit-identical.
     scan_width = 2 if "--scan-width=2" in sys.argv else 1
-    if "--scan-width=1" in sys.argv:
-        scan_width = 1
 
     def matvec(ct, ptg, bps, brs, gps, grs, kt):
         """The ENTIRE encrypted matvec as one traced graph (scan over

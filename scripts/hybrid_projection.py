@@ -48,42 +48,42 @@ LEVEL = 35
 
 
 def hybrid_t_ms(params, op, ns_l, ns_c, level, meas):
+    """One hybrid row from the SHARED model (dispatch_model.
+    predict_hybrid_ms — measured hybrid anchors when available, the
+    composition estimate otherwise; same numbers the CLI routes by),
+    plus the decomposition detail this table exists to show."""
     t1_ms = meas["t1_ms"][op]
-    comp_l = dispatch_model._interp_level(
-        meas["compute_ms"][f"{op}|limb|{ns_l}"], level)
-    comp_c_ratio = dispatch_model._interp_level(
-        meas["compute_ms"][f"{op}|coeff|{ns_c}"], level) / t1_ms
-    comp = comp_l * comp_c_ratio
+    hkey = f"{op}|hybrid{ns_l}x{ns_c}|{ns_l * ns_c}"
+    measured_anchor = hkey in meas["compute_ms"]
+    if measured_anchor:
+        comp = dispatch_model._interp_level(meas["compute_ms"][hkey], level)
+        note = "measured on chip (per-shard body)"
+    else:
+        comp_l = dispatch_model._interp_level(
+            meas["compute_ms"][f"{op}|limb|{ns_l}"], level)
+        ratio = min(1.0, dispatch_model._interp_level(
+            meas["compute_ms"][f"{op}|coeff|{ns_c}"], level) / t1_ms)
+        comp = comp_l * ratio
+        note = (f"estimate: limb({ns_l})={comp_l:.3f} x "
+                f"colratio({ns_c})={ratio:.3f}")
     ici_l = ici_bytes_per_op_limb(params, level, ns_l, op) / ns_c
-    # coeff a2a volume over this device's row block only (~1/ns_l of the
-    # full-row transform schedule; hrotate's ppermute term scales the
-    # same way: level/ns_l local rows)
     ici_c = ici_bytes_per_op(params, level, ns_c, op) / ns_l
-    ici = ici_l + ici_c
     colls = (limb_collective_count(params, level, ns_l, op)
              + coeff_collective_count(params, level, op))
-    t = comp / 1e3 + ici / BW0 + colls * TCOLL0
-    # limb overlap credit, sections scaled by the column compute ratio
-    G = _pick_gchunks(params.ntt.n1, params.ntt.n2)
-    ov = meas["overlap_ms"].get(f"{op}|{ns_l}")
-    h = 0.0
-    if ov and G > 1:
-        o_scaled = (ov["modup"] + ov["tail"]) * comp_c_ratio / 1e3
-        h = min(ici_l / BW0 * (G - 1) / G, o_scaled)
-        t -= h
+    t = dispatch_model.predict_hybrid_ms(params, op, ns_l, ns_c, level)
+    t_no_ov = comp + 1e3 * ((ici_l + ici_c) / BW0 + colls * TCOLL0)
     return {
         "op": op, "axis": f"hybrid_{ns_l}limb_x_{ns_c}coeff",
         "ns": ns_l * ns_c, "ns_l": ns_l, "ns_c": ns_c,
         "compute_ms": round(comp, 4),
-        "compute_note": (f"limb({ns_l})={comp_l:.3f} x "
-                         f"colratio({ns_c})={comp_c_ratio:.3f} (estimate)"),
-        "ici_mb": round(ici / 1e6, 2),
+        "compute_note": note,
+        "ici_mb": round((ici_l + ici_c) / 1e6, 2),
         "ici_limb_mb": round(ici_l / 1e6, 2),
         "ici_coeff_mb": round(ici_c / 1e6, 2),
         "collectives": colls,
-        "overlap_credit_ms": round(1e3 * h, 4),
-        "t_ms": round(1e3 * t, 4),
-        "efficiency": round(t1_ms / (ns_l * ns_c * 1e3 * t), 4),
+        "overlap_credit_ms": round(t_no_ov - t, 4),
+        "t_ms": round(t, 4),
+        "efficiency": round(t1_ms / (ns_l * ns_c * t), 4),
     }
 
 
@@ -127,8 +127,7 @@ def main() -> int:
     # gathers stay entirely on intra-host ICI — collectives crossing DCN
     # pay (BW_dcn, t_coll_dcn), the rest ICI constants. Uses the same
     # distinct-fabric model as scaling_projection's 2-host rows.
-    BW_DCN0, TCOLL_DCN = 12.5e9, 25e-6
-    G = _pick_gchunks(params.ntt.n1, params.ntt.n2)
+    from scripts.scaling_projection import BW_DCN0, TCOLL_DCN
     for r in rows:
         op, ns_l, ns_c = r["op"], r["ns_l"], r["ns_c"]
         if ns_c != 2:

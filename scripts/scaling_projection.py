@@ -56,15 +56,19 @@ sys.path.insert(0, ROOT)
 
 import numpy as np  # noqa: E402
 
+# Center constants come from the SHARED dispatch model so the CLI's
+# routing and this projection can never drift apart (they are the same
+# numbers by construction).
+from homulator_tpu.parallel.dispatch_model import BW0, TCOLL0  # noqa: E402
+
 LEVELS = (35, 11)  # compute anchors (level 35 = headline; 11 = low anchor)
 NSS = (2, 4, 8)
 # v5e ICI: 4 links/chip, ~186 GB/s aggregate injection per chip (public
 # spec 1600 Gbps). Effective per-device receive bandwidth for the
-# gather/transpose patterns here is well below peak; 45 GB/s is the
-# conservative center, swept 2x each way.
-BW_GRID = (22.5e9, 45e9, 90e9)
-TCOLL_GRID = (2e-6, 5e-6, 20e-6)
-BW0, TCOLL0 = BW_GRID[1], TCOLL_GRID[1]
+# gather/transpose patterns here is well below peak; BW0 = 45 GB/s is
+# the conservative center, swept 2x each way.
+BW_GRID = (BW0 / 2, BW0, BW0 * 2)
+TCOLL_GRID = (2e-6, TCOLL0, 20e-6)
 # DCN (2-host boundary): per-device effective cross-host bandwidth —
 # hosts share one NIC pool (v5e pods: 100-400 Gbps/host over 4 devices),
 # so the per-device center is far below ICI. Swept 2x each way.
@@ -498,8 +502,7 @@ def main() -> int:
             m[0] = int(3 * scale)
             ct1 = eng.encrypt_ints(m, lvl, scale)
             ct2 = eng.encrypt_ints(m, lvl, scale)
-            T = build_limb_tables(dc, lvl, ns_l, col_axis="coeff",
-                                  col_ns=ns_c)
+            T = build_limb_tables(dc, lvl, ns_l, col_axis="coeff")
             spec = _limb_specs(T, "limb", "coeff")
             T_l = _shard_slice(
                 _shard_slice(T, spec, "limb", ns_l), spec, "coeff", ns_c)

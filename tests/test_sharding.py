@@ -728,3 +728,30 @@ def test_hybrid_hmult_data_parallel_batched(pallas_engine):
     for i in range(B):
         ref = _hmult_ref(eng, ab[i], bb[i], level)
         assert np.array_equal(out[i][:, : level - 1], ref), i
+
+
+def test_hybrid_hrotate_gather_route_fallback(pallas_engine):
+    """The pairs=None gather-route sentinel must also work inside the
+    hybrid mesh (all_gather over the coeff subgroup) and stay bit-exact."""
+    from homulator_tpu.parallel.limb_sharded import (
+        evk_limb_row_order, make_hybrid_hrotate, pad_main_rows,
+    )
+
+    eng = pallas_engine
+    level = 8
+    step = 3
+    ns_l, ns_c = 4, 2
+    eng.gen_rotation_key(step)
+    mesh = make_mesh(shape=(ns_l, ns_c), n_devices=8,
+                     axis_names=("limb", "coeff"))
+    a = _batch(eng, level, 1, seed=81)[0]
+    g = eng.params.galois_elt(step)
+    perm = eng.dc.automorph_perm(g)
+    route = (perm, None, False)  # forced gather-route sentinel
+    order = jnp.asarray(evk_limb_row_order(eng.params, level, ns_l))
+    rotk_l = jnp.take(eng.rot_keys[step], order, axis=2)
+    f = make_hybrid_hrotate(eng.dc, level, mesh)
+    out = np.asarray(f(pad_main_rows(a, level, ns_l), route, rotk_l))
+    ref = np.asarray(_hrotate_graph(
+        a, perm, eng.rot_keys[step], eng.dc.keyswitch_tables(level)))
+    assert np.array_equal(out[:, :level], ref)
