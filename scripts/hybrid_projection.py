@@ -40,7 +40,7 @@ from homulator_tpu.parallel.dispatch_model import (  # noqa: E402
     BW0, TCOLL0, coeff_collective_count,
 )
 from homulator_tpu.parallel.limb_sharded import (  # noqa: E402
-    _pick_gchunks, ici_bytes_per_op_limb, limb_collective_count,
+    ici_bytes_per_op_limb, limb_collective_count,
 )
 from homulator_tpu.parallel.sharded import ici_bytes_per_op  # noqa: E402
 

@@ -172,7 +172,7 @@ def main() -> int:
     from homulator_tpu.params import get_params
     from homulator_tpu.parallel import dispatch_model
     from homulator_tpu.parallel.limb_sharded import (
-        LimbTables, _hmult_limb_body, _hrotate_limb_body, _ip_slice,
+        _hmult_limb_body, _hrotate_limb_body, _ip_slice,
         _limb_specs, _pick_gchunks, build_limb_tables, evk_limb_row_order,
         ici_bytes_per_op_limb, limb_collective_count, pad_main_rows,
     )
